@@ -1,13 +1,306 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.spark.functions._
+
+/**
+ * Driver contract: named queries + equivalent DuckDB oracle SQL over the
+ * /root/testdata parquet tables. Column names and types match the oracle
+ * exactly (the driver sorts columns by name and hashes values).
+ *
+ * Approximate results are verified as error-bound booleans computed against
+ * exact order statistics inside the query itself; the oracle asserts the
+ * booleans and re-derives every exactly-computable column (counts, min/max,
+ * distinct counts) independently in DuckDB.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Full-precision double literal for oracle SQL. */
+  private def dlit(v: Double): String = {
+    if (v == v.floor && math.abs(v) < 1e15) f"${v.toLong}%d.0"
+    else String.format("%.17g", java.lang.Double.valueOf(v))
+  }
+
+  /** DuckDB CASE expression mapping `col` to this CustomLayout's bin index. */
+  private def customBinCaseSql(col: String, boundaries: Seq[Double]): String = {
+    val whens = boundaries.zipWithIndex
+      .map { case (b, i) => s"WHEN $col < ${dlit(b)} THEN $i" }
+      .mkString(" ")
+    s"CASE $whens ELSE ${boundaries.length} END"
+  }
+
+  // layouts shared by queries and oracles
+  private val priceBoundaries = Seq(0.0, 1000.0, 2000.0, 4000.0, 8000.0, 16000.0, 32000.0, 64000.0)
+  private val priceLayout = CustomLayout(priceBoundaries.toArray)
+  private val qtyLayout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e3)
+  private val priceLogLayout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
+  private val latencyLayout = LogQuadraticLayout(1.0, 1e-2, 0, 1e10)
+
+  /**
+   * Exact SciPy-mquantiles (alphap=betap=0.4) per-group quantiles via window
+   * order statistics: z = -0.6 + p*(n+0.2); exact = v[floor(z)] +
+   * frac * (v[floor(z)+1] - v[floor(z)]) over 0-indexed sorted values.
+   * Returns (groupCol, p, exact_q).
+   */
+  private def exactSciPyQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w) - lit(1))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val pDf = ps
+      .foldLeft(Option.empty[DataFrame]) { (acc, p) =>
+        val d = ranked
+          .withColumn("p", lit(p))
+          .withColumn(
+            "__z",
+            least(
+              greatest(lit(-0.6) + lit(p) * (col("__n") + lit(0.2)), lit(0.0)),
+              col("__n").cast("double") - lit(1.0)))
+          .withColumn("__lo", floor(col("__z")).cast("long"))
+          .filter(col("__rn") === col("__lo") || col("__rn") === col("__lo") + 1)
+        Some(acc.map(_.unionAll(d)).getOrElse(d))
+      }
+      .get
+    // combine the two order statistics per (group, p)
+    pDf
+      .groupBy(col(groupCol), col("p"))
+      .agg(
+        min(col("__z")).as("__z"),
+        min(col("__lo")).as("__lo"),
+        min(when(col("__rn") === col("__lo"), col(valueCol))).as("__vlo"),
+        min(when(col("__rn") === col("__lo") + 1, col(valueCol))).as("__vhi"))
+      .withColumn(
+        "exact_q",
+        when(col("__z") === col("__lo").cast("double"), col("__vlo"))
+          .otherwise(
+            col("__vlo") + (col("__z") - col("__lo").cast("double")) *
+              (coalesce(col("__vhi"), col("__vlo")) - col("__vlo"))))
+      .select(col(groupCol), col("p"), col("exact_q"))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+   * per-role turn-length histogram quantiles over a synthesized transcript
+   * table derived from the events stream. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val transcripts = graft.spark.Transcripts.fromEvents(table(spark, dir, "events"))
+    transcripts
+      .groupBy(col("role"))
+      .agg(hist_sketch(length(col("text")).cast("double"), latencyLayout).as("sk"))
+      .select(
+        col("role"),
+        hist_total(col("sk")).as("n_turns"),
+        hist_quantile(col("sk"), 0.5).as("p50_len"),
+        hist_quantile(col("sk"), 0.99).as("p99_len"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1. CustomLayout bin counts, exploded — exact, SQL-checkable bin by bin
+    "q01_hist_custom_bins" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .agg(hist_sketch(col("l_extendedprice"), priceLayout).as("sk"))
+        .select(explode(hist_bins(col("sk"))).as("b"))
+        .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
+    },
+    // 2. exact scalars tracked by the sketch, per group
+    "q02_hist_stats" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(hist_sketch(col("l_quantity"), qtyLayout).as("sk"))
+        .select(
+          col("l_returnflag"),
+          hist_total(col("sk")).as("n"),
+          hist_min(col("sk")).as("mn"),
+          hist_max(col("sk")).as("mx"))
+    },
+    // 3. histogram quantile error vs exact SciPy order statistics
+    "q03_hist_quantile_bound" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val ps = Seq(0.5, 0.99)
+      val sketches = li
+        .groupBy(col("l_returnflag"))
+        .agg(hist_sketch(col("l_extendedprice"), priceLogLayout).as("sk"))
+        .select(
+          col("l_returnflag"),
+          explode(
+            arrays_zip(
+              array(ps.map(lit): _*).as("p"),
+              hist_quantiles(col("sk"), ps).as("est"))).as("pe"))
+        .select(col("l_returnflag"), col("pe.p").as("p"), col("pe.est").as("est"))
+      val exact = exactSciPyQuantiles(li, "l_returnflag", "l_extendedprice", ps)
+      sketches
+        .join(exact, Seq("l_returnflag", "p"))
+        .select(
+          col("l_returnflag"),
+          col("p"),
+          (abs(col("est") - col("exact_q")) <=
+            greatest(lit(1e-3), lit(1e-2) * abs(col("exact_q"))) * lit(1 + 1e-9)).as("ok"))
+        .orderBy(col("l_returnflag"), col("p"))
+    },
+    // 4. HLL distinct count within 3 standard errors; exact count re-derived
+    "q04_hll_distinct" -> { (s, dir) =>
+      val m = 1 << 14
+      val bound = 3 * 1.04 / math.sqrt(m.toDouble)
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          hll_sketch_long(col("o_custkey")).as("sk"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(
+          col("o_orderpriority"),
+          col("n_exact"),
+          (abs(hll_estimate(col("sk")) - col("n_exact")) <=
+            lit(bound) * col("n_exact")).as("ok"))
+    },
+    // 5. count-min point estimates: no underestimate, bounded overestimate
+    "q05_cms_freq" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val sk = ev.agg(cms_sketch(col("event_type"), 5, 2048).as("sk"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"))
+        .crossJoin(sk)
+        .select(
+          col("event_type"),
+          col("n_exact"),
+          (cms_estimate(col("sk"), col("event_type")) >= col("n_exact") &&
+            cms_estimate(col("sk"), col("event_type")) <=
+              col("n_exact") + lit(3 * math.E / 2048) * cms_total(col("sk"))).as("ok"))
+    },
+    // 6. bloom membership: zero false negatives on the FK side, bounded FPP
+    "q06_bloom_membership" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      val nCust = cust.count()
+      val sk = cust.agg(bloom_sketch(col("c_custkey"), math.max(nCust, 1000), 0.01).as("sk"))
+      val probed = orders
+        .select(col("o_custkey")).distinct()
+        .crossJoin(sk)
+        .agg(
+          count(lit(1)).as("n_probed"),
+          sum(when(bloom_might_contain(col("sk"), col("o_custkey")), 1L).otherwise(0L))
+            .as("n_contained"))
+      // negative probes: keys far outside the customer key space
+      val maxKey = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val fp = s
+        .range(maxKey + 1000000, maxKey + 1010000)
+        .crossJoin(sk)
+        .agg(
+          sum(when(bloom_might_contain(col("sk"), col("id")), 1L).otherwise(0L)).as("n_fp"))
+        .collect()(0)
+        .getLong(0)
+      probed.select(
+        lit(nCust).as("n_customers"),
+        col("n_probed"),
+        (col("n_contained") === col("n_probed")).as("all_contained"),
+        lit(fp <= 10000 * 0.05).as("fp_ok"))
+    },
+    // 7. t-digest over derived per-user event latencies: rank-error bound
+    "q07_tdigest_latency" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lat = ev
+        .withColumn(
+          "lat",
+          (col("ts").cast("timestamp").cast("double") -
+            lag(col("ts"), 1).over(w).cast("timestamp").cast("double")))
+        .filter(col("lat").isNotNull)
+      val latCount = lat.count()
+      val sk = lat.agg(tdigest_sketch(col("lat"), 100.0).as("sk"))
+      val ests = sk.select(
+        tdigest_quantile(col("sk"), 0.5).as("est50"),
+        tdigest_quantile(col("sk"), 0.95).as("est95"))
+      val Array(est50, est95) = {
+        val r = ests.collect()(0)
+        Array(r.getDouble(0), r.getDouble(1))
+      }
+      def rankOf(x: Double) =
+        lat.filter(col("lat") <= lit(x)).count().toDouble / latCount
+      val ok50 = math.abs(rankOf(est50) - 0.5) <= 0.01
+      val ok95 = math.abs(rankOf(est95) - 0.95) <= 0.01
+      val rows = Seq((0.5, latCount, ok50), (0.95, latCount, ok95))
+      s.createDataFrame(rows).toDF("p", "n", "ok").orderBy(col("p"))
+    },
+    // 8. KLL global quantiles: normalized rank error within ~1.65/k
+    "q08_kll_quantile" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val n = li.count()
+      val sk = li.agg(kll_sketch(col("l_extendedprice"), 200).as("sk"))
+      val ps = Seq(0.1, 0.5, 0.9, 0.99)
+      val ests = sk
+        .select(ps.map(p => kll_quantile(col("sk"), p).as(s"p$p")): _*)
+        .collect()(0)
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        val est = ests.getDouble(i)
+        val rank = li.filter(col("l_extendedprice") <= lit(est)).count().toDouble / n
+        (p, n, math.abs(rank - p) <= 0.015)
+      }
+      s.createDataFrame(rows).toDF("p", "n", "ok").orderBy(col("p"))
+    },
+    // 9. partitioning invariance: byte-identical sketches at 1 vs 32
+    //    partitions and via salted two-phase aggregation
+    "q09_hist_merge_invariance" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      def sketchBytes(df: DataFrame): Array[Byte] =
+        df.agg(hist_sketch(col("v"), priceLogLayout)).collect()(0).getAs[Array[Byte]](0)
+      val a = sketchBytes(li.repartition(1))
+      val b = sketchBytes(li.repartition(32))
+      val c = li
+        .withColumn("salt", pmod(hash(col("v")), lit(16)))
+        .groupBy(col("salt"))
+        .agg(hist_sketch(col("v"), priceLogLayout).as("partial"))
+        .agg(hist_merge(col("partial")))
+        .collect()(0)
+        .getAs[Array[Byte]](0)
+      val inv = java.util.Arrays.equals(a, b) && java.util.Arrays.equals(a, c)
+      import s.implicits._
+      Seq(Tuple1(inv)).toDF("invariant")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_hist_custom_bins" ->
+      s"""SELECT ${customBinCaseSql("l_extendedprice", priceBoundaries)} AS bin_index,
+          count(*) AS cnt FROM lineitem GROUP BY 1""",
+    "q02_hist_stats" ->
+      """SELECT l_returnflag, count(l_quantity) AS n, min(l_quantity) AS mn,
+          max(l_quantity) AS mx FROM lineitem GROUP BY 1""",
+    "q03_hist_quantile_bound" ->
+      """SELECT l_returnflag, CAST(p AS DOUBLE) AS p, true AS ok
+         FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+         CROSS JOIN (SELECT 0.5 AS p UNION ALL SELECT 0.99)
+         ORDER BY l_returnflag, p""",
+    "q04_hll_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, true AS ok
+         FROM orders GROUP BY 1""",
+    "q05_cms_freq" ->
+      """SELECT event_type, count(*) AS n_exact, true AS ok FROM events GROUP BY 1""",
+    "q06_bloom_membership" ->
+      """SELECT (SELECT count(*) FROM customer) AS n_customers,
+                (SELECT count(DISTINCT o_custkey) FROM orders) AS n_probed,
+                true AS all_contained, true AS fp_ok""",
+    "q07_tdigest_latency" ->
+      """WITH lat AS (
+           SELECT ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l
+           FROM events)
+         SELECT CAST(p AS DOUBLE) AS p,
+                (SELECT count(*) FROM lat WHERE l IS NOT NULL) AS n, true AS ok
+         FROM (SELECT 0.5 AS p UNION ALL SELECT 0.95) ORDER BY p""",
+    "q08_kll_quantile" ->
+      """SELECT CAST(p AS DOUBLE) AS p, (SELECT count(*) FROM lineitem) AS n, true AS ok
+         FROM (SELECT 0.1 AS p UNION ALL SELECT 0.5 UNION ALL SELECT 0.9
+               UNION ALL SELECT 0.99) ORDER BY p""",
+    "q09_hist_merge_invariance" -> "SELECT true AS invariant"
+  )
 }

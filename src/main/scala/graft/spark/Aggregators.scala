@@ -1,0 +1,159 @@
+package graft.spark
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import graft.core._
+import graft.sketches._
+
+/**
+ * Typed Catalyst aggregators for the sketch family. Each is an
+ * `Aggregator[IN, BUF, Array[Byte]]` registered through `functions.udaf`,
+ * which Spark plans as a TypedImperativeAggregate inside
+ * ObjectHashAggregateExec: per-partition partial aggregation (reduce) +
+ * shuffle of serialized buffers + final merge. All merges are associative
+ * and commutative, so results are partitioning-invariant.
+ *
+ * Null inputs are skipped (SQL aggregate semantics). Buffers travel as kryo
+ * blobs only at the partial/final boundary — O(groups), not O(rows).
+ */
+object Aggs {
+
+  /** DynaHist-semantics histogram over a double column; output is the
+   * self-describing [[graft.core.SketchEnvelope]] bytes. */
+  final class HistogramAgg(layout: Layout)
+      extends Aggregator[java.lang.Double, Histogram, Array[Byte]] {
+    override def zero: Histogram = Histogram(layout)
+    override def reduce(b: Histogram, a: java.lang.Double): Histogram = {
+      if (a != null) b.addValue(a.doubleValue())
+      b
+    }
+    override def merge(b1: Histogram, b2: Histogram): Histogram = b1.add(b2)
+    override def finish(b: Histogram): Array[Byte] = SketchEnvelope.toBytes(b)
+    override def bufferEncoder: Encoder[Histogram] = Encoders.kryo[Histogram]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Weighted histogram over (value, count) pairs. */
+  final class HistogramWeightedAgg(layout: Layout)
+      extends Aggregator[(java.lang.Double, java.lang.Long), Histogram, Array[Byte]] {
+    override def zero: Histogram = Histogram(layout)
+    override def reduce(b: Histogram, a: (java.lang.Double, java.lang.Long)): Histogram = {
+      if (a._1 != null && a._2 != null) b.addValue(a._1.doubleValue(), a._2.longValue())
+      b
+    }
+    override def merge(b1: Histogram, b2: Histogram): Histogram = b1.add(b2)
+    override def finish(b: Histogram): Array[Byte] = SketchEnvelope.toBytes(b)
+    override def bufferEncoder: Encoder[Histogram] = Encoders.kryo[Histogram]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Re-merges already-finished histogram sketch columns (envelope bytes):
+   * the second phase of salted/two-level aggregation and checkpoint resume. */
+  final class HistogramMergeAgg
+      extends Aggregator[Array[Byte], Option[Histogram], Array[Byte]] {
+    override def zero: Option[Histogram] = None
+    override def reduce(b: Option[Histogram], bytes: Array[Byte]): Option[Histogram] = {
+      if (bytes == null || bytes.isEmpty) return b
+      val h = SketchEnvelope.fromBytes(bytes)
+      b match {
+        case Some(acc) => Some(acc.add(h))
+        case None      => Some(h)
+      }
+    }
+    override def merge(b1: Option[Histogram], b2: Option[Histogram]): Option[Histogram] =
+      (b1, b2) match {
+        case (Some(a), Some(b)) => Some(a.add(b))
+        case (Some(_), None)    => b1
+        case _                  => b2
+      }
+    override def finish(b: Option[Histogram]): Array[Byte] =
+      b.map(SketchEnvelope.toBytes).getOrElse(Array.empty[Byte])
+    override def bufferEncoder: Encoder[Option[Histogram]] = Encoders.kryo[Option[Histogram]]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** HyperLogLog distinct count over strings (nulls skipped). */
+  final class HllStringAgg(precision: Int)
+      extends Aggregator[String, Hll, Array[Byte]] {
+    override def zero: Hll = Hll(precision)
+    override def reduce(b: Hll, a: String): Hll = {
+      if (a != null) b.addString(a)
+      b
+    }
+    override def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+    override def finish(b: Hll): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** HyperLogLog distinct count over longs. */
+  final class HllLongAgg(precision: Int)
+      extends Aggregator[java.lang.Long, Hll, Array[Byte]] {
+    override def zero: Hll = Hll(precision)
+    override def reduce(b: Hll, a: java.lang.Long): Hll = {
+      if (a != null) b.addLong(a.longValue())
+      b
+    }
+    override def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+    override def finish(b: Hll): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Count-min frequency sketch over strings. */
+  final class CountMinAgg(depth: Int, width: Int)
+      extends Aggregator[String, CountMin, Array[Byte]] {
+    override def zero: CountMin = CountMin(depth, width)
+    override def reduce(b: CountMin, a: String): CountMin = {
+      if (a != null) b.addString(a)
+      b
+    }
+    override def merge(b1: CountMin, b2: CountMin): CountMin = b1.merge(b2)
+    override def finish(b: CountMin): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[CountMin] = Encoders.kryo[CountMin]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Bloom membership filter over longs. */
+  final class BloomLongAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {
+    override def zero: BloomFilter = BloomFilter(expectedItems, fpp)
+    override def reduce(b: BloomFilter, a: java.lang.Long): BloomFilter = {
+      if (a != null) b.addLong(a.longValue())
+      b
+    }
+    override def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = b1.merge(b2)
+    override def finish(b: BloomFilter): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** t-digest quantile sketch over doubles. */
+  final class TDigestAgg(compression: Double)
+      extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
+    override def zero: TDigest = TDigest(compression)
+    override def reduce(b: TDigest, a: java.lang.Double): TDigest = {
+      if (a != null) b.add(a.doubleValue())
+      b
+    }
+    override def merge(b1: TDigest, b2: TDigest): TDigest = b1.merge(b2)
+    override def finish(b: TDigest): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** KLL rank/quantile sketch over doubles. */
+  final class KllAgg(k: Int)
+      extends Aggregator[java.lang.Double, Kll, Array[Byte]] {
+    override def zero: Kll = Kll(k)
+    override def reduce(b: Kll, a: java.lang.Double): Kll = {
+      if (a != null) b.add(a.doubleValue())
+      b
+    }
+    override def merge(b1: Kll, b2: Kll): Kll = b1.merge(b2)
+    override def finish(b: Kll): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[Kll] = Encoders.kryo[Kll]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+}

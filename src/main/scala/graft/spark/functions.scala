@@ -1,0 +1,207 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.{udaf, udf}
+
+import graft.core._
+import graft.sketches._
+
+/** One exploded histogram bin row. */
+final case class BinRow(bin_index: Int, cnt: Long, lower: Double, upper: Double)
+
+/**
+ * Column-level sketch API: aggregation functions producing sketch bytes, and
+ * scalar functions querying them. Aggregations run distributed (partial +
+ * final); the scalar query functions are cheap per-group post-processing.
+ *
+ * Everything is also SQL-registrable via [[functions.registerAll]].
+ */
+object functions {
+
+  // -------------------------------------------------------------------------
+  // aggregation columns
+  // -------------------------------------------------------------------------
+
+  /** Error-bounded histogram sketch of a double column. */
+  def hist_sketch(c: Column, layout: Layout): Column =
+    udaf(new Aggs.HistogramAgg(layout), Encoders.DOUBLE).apply(c)
+
+  /** Count-weighted histogram sketch over (value, weight). */
+  def hist_sketch_weighted(value: Column, weight: Column, layout: Layout): Column =
+    udaf(
+      new Aggs.HistogramWeightedAgg(layout),
+      Encoders.tuple(Encoders.DOUBLE, Encoders.LONG)).apply(value, weight)
+
+  /** Merges a column of histogram sketch bytes into one sketch (phase 2 of
+   * salted/tree aggregation; checkpoint resume). */
+  def hist_merge(c: Column): Column =
+    udaf(new Aggs.HistogramMergeAgg, Encoders.BINARY).apply(c)
+
+  /** HyperLogLog sketch of a string column. */
+  def hll_sketch(c: Column, precision: Int = Hll.DefaultPrecision): Column =
+    udaf(new Aggs.HllStringAgg(precision), Encoders.STRING).apply(c)
+
+  /** HyperLogLog sketch of a long column. */
+  def hll_sketch_long(c: Column, precision: Int = Hll.DefaultPrecision): Column =
+    udaf(new Aggs.HllLongAgg(precision), Encoders.LONG).apply(c)
+
+  /** Count-min frequency sketch of a string column. */
+  def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
+    udaf(new Aggs.CountMinAgg(depth, width), Encoders.STRING).apply(c)
+
+  /** Bloom filter of a long column. */
+  def bloom_sketch(c: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    udaf(new Aggs.BloomLongAgg(expectedItems, fpp), Encoders.LONG).apply(c)
+
+  /** t-digest quantile sketch of a double column. */
+  def tdigest_sketch(c: Column, compression: Double = 100.0): Column =
+    udaf(new Aggs.TDigestAgg(compression), Encoders.DOUBLE).apply(c)
+
+  /** KLL rank/quantile sketch of a double column. */
+  def kll_sketch(c: Column, k: Int = 200): Column =
+    udaf(new Aggs.KllAgg(k), Encoders.DOUBLE).apply(c)
+
+  // -------------------------------------------------------------------------
+  // scalar sketch query functions (over sketch bytes)
+  // -------------------------------------------------------------------------
+
+  private def hist(b: Array[Byte]): Histogram = SketchEnvelope.fromBytes(b)
+
+  val histQuantileUdf: UserDefinedFunction =
+    udf((b: Array[Byte], p: Double) => hist(b).quantile(p))
+
+  val histQuantilesUdf: UserDefinedFunction =
+    udf((b: Array[Byte], ps: Seq[Double]) => {
+      val pre = hist(b).preprocessed // O(log bins) per quantile
+      ps.map(pre.quantile(_))
+    })
+
+  val histValueAtRankUdf: UserDefinedFunction =
+    udf((b: Array[Byte], rank: Long) => hist(b).valueAt(rank))
+
+  val histTotalUdf: UserDefinedFunction = udf((b: Array[Byte]) => hist(b).totalCount)
+  val histMinUdf: UserDefinedFunction = udf((b: Array[Byte]) => hist(b).min)
+  val histMaxUdf: UserDefinedFunction = udf((b: Array[Byte]) => hist(b).max)
+  val histUnderflowUdf: UserDefinedFunction = udf((b: Array[Byte]) => hist(b).underflowCount)
+  val histOverflowUdf: UserDefinedFunction = udf((b: Array[Byte]) => hist(b).overflowCount)
+
+  val histBinsUdf: UserDefinedFunction = udf((b: Array[Byte]) =>
+    hist(b).nonEmptyBins.map(bin =>
+      BinRow(bin.binIndex, bin.binCount, bin.lowerBound, bin.upperBound)))
+
+  def hist_quantile(sketch: Column, p: Double): Column =
+    histQuantileUdf(sketch, org.apache.spark.sql.functions.lit(p))
+
+  def hist_quantiles(sketch: Column, ps: Seq[Double]): Column =
+    histQuantilesUdf(
+      sketch,
+      org.apache.spark.sql.functions.array(ps.map(org.apache.spark.sql.functions.lit): _*))
+
+  def hist_value_at_rank(sketch: Column, rank: Column): Column =
+    histValueAtRankUdf(sketch, rank)
+
+  def hist_total(sketch: Column): Column = histTotalUdf(sketch)
+  def hist_min(sketch: Column): Column = histMinUdf(sketch)
+  def hist_max(sketch: Column): Column = histMaxUdf(sketch)
+  def hist_underflow(sketch: Column): Column = histUnderflowUdf(sketch)
+  def hist_overflow(sketch: Column): Column = histOverflowUdf(sketch)
+
+  /** Array of (bin_index, cnt, lower, upper) structs; explode() it for rows. */
+  def hist_bins(sketch: Column): Column = histBinsUdf(sketch)
+
+  /** Lossy re-binning into a different layout. */
+  def hist_rebin(sketch: Column, newLayout: Layout): Column = {
+    val f = udf((b: Array[Byte]) =>
+      SketchEnvelope.toBytes(Histogram(newLayout).add(hist(b))))
+    f(sketch)
+  }
+
+  /** Scalar merge of two sketch columns. */
+  val histMerge2Udf: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => {
+    if (a == null || a.isEmpty) b
+    else if (b == null || b.isEmpty) a
+    else SketchEnvelope.toBytes(hist(a).add(hist(b)))
+  })
+
+  def hist_merge2(a: Column, b: Column): Column = histMerge2Udf(a, b)
+
+  /** Bin index of a value under a layout (for oracle cross-checks). */
+  def hist_bin_index(value: Column, layout: Layout): Column = {
+    val f = udf((v: Double) => layout.mapToBinIndex(v))
+    f(value)
+  }
+
+  val hllEstimateUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) => Hll.fromBytes(b).estimate)
+
+  def hll_estimate(sketch: Column): Column = hllEstimateUdf(sketch)
+
+  val cmsEstimateUdf: UserDefinedFunction =
+    udf((b: Array[Byte], item: String) => CountMin.fromBytes(b).estimateString(item))
+
+  def cms_estimate(sketch: Column, item: Column): Column = cmsEstimateUdf(sketch, item)
+
+  val cmsTotalUdf: UserDefinedFunction = udf((b: Array[Byte]) => CountMin.fromBytes(b).total)
+  def cms_total(sketch: Column): Column = cmsTotalUdf(sketch)
+
+  val bloomMightContainUdf: UserDefinedFunction =
+    udf((b: Array[Byte], item: Long) => BloomFilter.fromBytes(b).mightContainLong(item))
+
+  def bloom_might_contain(sketch: Column, item: Column): Column =
+    bloomMightContainUdf(sketch, item)
+
+  val tdigestQuantileUdf: UserDefinedFunction =
+    udf((b: Array[Byte], p: Double) => TDigest.fromBytes(b).quantile(p))
+
+  def tdigest_quantile(sketch: Column, p: Double): Column =
+    tdigestQuantileUdf(sketch, org.apache.spark.sql.functions.lit(p))
+
+  val tdigestCdfUdf: UserDefinedFunction =
+    udf((b: Array[Byte], x: Double) => TDigest.fromBytes(b).cdf(x))
+
+  def tdigest_cdf(sketch: Column, x: Column): Column = tdigestCdfUdf(sketch, x)
+
+  val kllQuantileUdf: UserDefinedFunction =
+    udf((b: Array[Byte], p: Double) => Kll.fromBytes(b).quantile(p))
+
+  def kll_quantile(sketch: Column, p: Double): Column =
+    kllQuantileUdf(sketch, org.apache.spark.sql.functions.lit(p))
+
+  val kllRankUdf: UserDefinedFunction =
+    udf((b: Array[Byte], x: Double) => Kll.fromBytes(b).rank(x))
+
+  def kll_rank(sketch: Column, x: Column): Column = kllRankUdf(sketch, x)
+
+  // -------------------------------------------------------------------------
+  // SQL registration
+  // -------------------------------------------------------------------------
+
+  /**
+   * Registers the sketch functions for SQL use. Layout-parameterized
+   * aggregates are registered for the common layouts; arbitrary layouts stay
+   * available through the typed column API.
+   */
+  def registerAll(spark: SparkSession): Unit = {
+    val defaultLayout: Layout = LogQuadraticLayout(1e-8, 1e-2, -1e9, 1e9)
+    spark.udf.register(
+      "hist_sketch",
+      udaf(new Aggs.HistogramAgg(defaultLayout), Encoders.DOUBLE))
+    spark.udf.register("hist_merge", udaf(new Aggs.HistogramMergeAgg, Encoders.BINARY))
+    spark.udf.register(
+      "hll_sketch",
+      udaf(new Aggs.HllStringAgg(Hll.DefaultPrecision), Encoders.STRING))
+    spark.udf.register("cms_sketch", udaf(new Aggs.CountMinAgg(5, 2048), Encoders.STRING))
+    spark.udf.register("tdigest_sketch", udaf(new Aggs.TDigestAgg(100.0), Encoders.DOUBLE))
+    spark.udf.register("kll_sketch", udaf(new Aggs.KllAgg(200), Encoders.DOUBLE))
+    spark.udf.register("hist_quantile", histQuantileUdf)
+    spark.udf.register("hist_total", histTotalUdf)
+    spark.udf.register("hist_min", histMinUdf)
+    spark.udf.register("hist_max", histMaxUdf)
+    spark.udf.register("hist_bins", histBinsUdf)
+    spark.udf.register("hll_estimate", hllEstimateUdf)
+    spark.udf.register("cms_estimate", cmsEstimateUdf)
+    spark.udf.register("tdigest_quantile", tdigestQuantileUdf)
+    spark.udf.register("kll_quantile", kllQuantileUdf)
+  }
+}

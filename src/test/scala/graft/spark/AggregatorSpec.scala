@@ -1,0 +1,163 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.sketches._
+import graft.spark.functions._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class AggregatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  private val layout: Layout = LogQuadraticLayout(1e-5, 1e-2, 0, 1e9)
+
+  test("hist_sketch over a grouped column matches a single-threaded kernel sketch") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(1L)
+    val rows = (0 until 20000).map(i => (s"g${i % 3}", math.exp(rnd.nextDouble() * 10)))
+    val df = rows.toDF("g", "v").repartition(7)
+    val out = df
+      .groupBy($"g")
+      .agg(hist_sketch($"v", layout).as("sk"))
+      .select($"g", $"sk")
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val expected = Histogram(layout)
+      rows.filter(_._1 == g).foreach(r => expected.addValue(r._2))
+      val got = SketchEnvelope.fromBytes(out(g))
+      assert(got == expected, s"group $g sketch differs from kernel")
+    }
+  }
+
+  test("partition-count invariance: identical bytes at 1 and 32 partitions") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(2L)
+    val rows = (0 until 50000).map(_ => rnd.nextDouble() * 1e6)
+    val df = rows.toDF("v")
+    def bytesAt(parts: Int): Array[Byte] =
+      df.repartition(parts)
+        .agg(hist_sketch($"v", layout))
+        .collect()(0)
+        .getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytesAt(1), bytesAt(32)))
+  }
+
+  test("hist scalar functions: total/min/max/quantile/bins") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(3L)
+    val vs = (0 until 10000).map(_ => 1.0 + rnd.nextDouble() * 999.0)
+    val df = vs.toDF("v")
+    val row = df
+      .agg(hist_sketch($"v", layout).as("sk"))
+      .select(
+        hist_total($"sk").as("n"),
+        hist_min($"sk").as("mn"),
+        hist_max($"sk").as("mx"),
+        hist_quantile($"sk", 0.5).as("p50"),
+        size(hist_bins($"sk")).as("nbins"))
+      .collect()(0)
+    assert(row.getLong(0) == vs.size.toLong)
+    assert(row.getDouble(1) == vs.min && row.getDouble(2) == vs.max)
+    val exact = vs.sorted.apply(vs.size / 2)
+    assert(math.abs(row.getDouble(3) - exact) / exact < 0.011)
+    assert(row.getInt(4) > 10)
+  }
+
+  test("hist_merge re-aggregates partial sketches (salted two-phase)") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(4L)
+    val rows = (0 until 30000).map(i => (s"k${i % 2}", rnd.nextDouble() * 100))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy($"k").agg(hist_sketch($"v", layout).as("sk"))
+    val salted = df
+      .withColumn("salt", pmod(hash($"v"), lit(8)))
+      .groupBy($"k", $"salt")
+      .agg(hist_sketch($"v", layout).as("partial"))
+      .groupBy($"k")
+      .agg(hist_merge($"partial").as("sk"))
+    val d = direct.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val s = salted.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (k <- Seq("k0", "k1")) {
+      assert(java.util.Arrays.equals(d(k), s(k)), s"salted != direct for $k")
+    }
+  }
+
+  test("hll/cms/bloom/tdigest/kll aggregators work end-to-end with bounds") {
+    import spark.implicits._
+    val n = 20000
+    val df = spark
+      .range(n.toLong)
+      .select(
+        col("id"),
+        concat(lit("user-"), col("id") % 1000).as("u"),
+        (col("id") % 7).cast("string").as("cat"),
+        rand(5).multiply(1000.0).as("v"))
+    val row = df
+      .agg(
+        hll_sketch($"u").as("hll"),
+        cms_sketch($"cat").as("cms"),
+        bloom_sketch($"id", 30000).as("bloom"),
+        tdigest_sketch($"v").as("td"),
+        kll_sketch($"v").as("kll"))
+      .select(
+        hll_estimate($"hll").as("distinct_est"),
+        cms_estimate($"cms", lit("3")).as("cat3"),
+        bloom_might_contain($"bloom", lit(17L)).as("has17"),
+        bloom_might_contain($"bloom", lit(-1L)).as("hasNeg"),
+        tdigest_quantile($"td", 0.5).as("tdp50"),
+        kll_quantile($"kll", 0.5).as("kllp50"))
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - 1000) / 1000.0 < 0.05, s"hll=${row.getDouble(0)}")
+    val exactCat3 = (0 until n).count(_ % 7 == 3)
+    assert(row.getLong(1) >= exactCat3 && row.getLong(1) <= exactCat3 + n / 100)
+    assert(row.getBoolean(2), "bloom false negative")
+    // p50 of uniform(0,1000) ~ 500
+    assert(math.abs(row.getDouble(4) - 500.0) < 25.0, s"tdigest p50=${row.getDouble(4)}")
+    assert(math.abs(row.getDouble(5) - 500.0) < 25.0, s"kll p50=${row.getDouble(5)}")
+  }
+
+  test("hist_rebin to a custom layout preserves totals; weighted sketch works") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val row = df
+      .agg(hist_sketch($"v", layout).as("sk"))
+      .select(hist_total(hist_rebin($"sk", CustomLayout(0.0, 250.0, 500.0, 750.0, 1000.0))))
+      .collect()(0)
+    assert(row.getLong(0) == 1000L)
+    val wrow = (1 to 100)
+      .map(i => (i.toDouble, 5L))
+      .toDF("v", "w")
+      .agg(hist_sketch_weighted($"v", $"w", layout).as("sk"))
+      .select(hist_total($"sk"))
+      .collect()(0)
+    assert(wrow.getLong(0) == 500L)
+  }
+
+  test("SQL registration surfaces sketch functions to spark.sql") {
+    registerAll(spark)
+    spark.range(1000).createOrReplaceTempView("t")
+    val r = spark
+      .sql("""SELECT hist_quantile(hist_sketch(CAST(id AS DOUBLE)), 0.5) AS p50,
+                     hll_estimate(hll_sketch(CAST(id % 100 AS STRING))) AS d
+              FROM t""")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 500.0) < 10)
+    assert(math.abs(r.getDouble(1) - 100.0) < 5)
+  }
+}
