@@ -248,6 +248,127 @@ object SparkEntry {
       }
       s.createDataFrame(rows).toDF("p", "n", "ok").orderBy(col("p"))
     },
+    // 10. text analysis: whitespace token counts per document, exact
+    "q10_doc_tokens" -> { (s, dir) =>
+      val tokUdf = udf((t: String) => graft.text.TextFunctions.tokenCount(t))
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokUdf(col("text")).as("n_tokens"),
+          (col("n_chars") === length(col("text")).cast("long")).as("n_chars_ok"))
+    },
+    // 11. text quality components (exact integers, each re-derived in SQL)
+    "q11_doc_quality" -> { (s, dir) =>
+      val statsUdf = udf((t: String) => {
+        val q = graft.text.TextFunctions.qualityStats(t)
+        (q.tokens, q.stopwords, q.punct, q.digits)
+      })
+      table(s, dir, "documents")
+        .select(col("doc_id"), statsUdf(col("text")).as("q"))
+        .select(
+          col("doc_id"),
+          col("q._1").as("n_tokens"),
+          col("q._2").as("n_stopwords"),
+          col("q._3").as("n_punct"),
+          col("q._4").as("n_digits"))
+    },
+    // 12. exact deduplication over canonical text fingerprints
+    "q12_dedup_exact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val groups = graft.text.Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      groups.agg(
+        sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(col("representative_id")).as("sum_rep_id"))
+    },
+    // 13. MinHash LSH near-dup recall vs exact all-pairs jaccard (brute force
+    //     is the in-query oracle; the SQL oracle asserts the booleans)
+    "q13_minhash_lsh" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val found = graft.text.Dedup
+        .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      // ground truth: exact jaccard over all pairs (single group)
+      val truth = graft.text.Dedup
+        .groupedJaccardPairs(docs.withColumn("g", lit(1)), "doc_id", "text", "g")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val recallOk = truth.isEmpty || truth.intersect(found).size.toDouble / truth.size >= 0.9
+      val precisionOk = found.forall(truth.contains) // verified pairs use exact jaccard
+      import s.implicits._
+      Seq((recallOk, precisionOk)).toDF("recall_ok", "precision_ok")
+    },
+    // 14. SimHash signatures: identical canonical texts map to identical
+    //     signatures, and any signature collisions are token-similar docs
+    //     (simhash is a similarity hash — colliding dissimilar docs would be
+    //     a bug). Collision similarity is verified with exact 1-gram jaccard.
+    "q14_simhash" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sigs = docs.select(
+        col("doc_id"),
+        col("text"),
+        graft.text.Dedup.simhashUdf(col("text")).as("sig"))
+      val collisions = sigs
+        .as("a")
+        .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          graft.text.Dedup.jaccardUdf(col("a.text"), col("b.text"), lit(1)).as("jac"))
+      val allSimilar = collisions.agg(min(col("jac"))).collect()(0) match {
+        case r if r.isNullAt(0) => true // no collisions at all
+        case r                  => r.getDouble(0) >= 0.2
+      }
+      val nDocs = docs.count()
+      import s.implicits._
+      Seq((nDocs, allSimilar)).toDF("n_docs", "collisions_similar")
+    },
+    // 15. exact embedding similarity search: brute-force top-1 neighbors,
+    //     fully re-derived by the oracle via list_cosine_similarity
+    "q15_embedding_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.text.Similarity
+        .cosineTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"))
+    },
+    // 16. LSH ANN recall vs brute force (the 100 TB scale path)
+    "q16_ann_recall" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val exact = graft.text.Similarity
+        .cosineTopK(emb, emb, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val approx = graft.text.Similarity
+        .ivfCosineTopK(emb, "vec_id", "embedding", k = 1, centroids = 32, probes = 8)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+      import s.implicits._
+      Seq((exact.size.toLong, recall >= 0.55)).toDF("n_queries", "recall_ok")
+    },
+    // 17. language id + fingerprints over documents
+    "q17_langid_fp" -> { (s, dir) =>
+      val langUdf = udf((t: String) => graft.text.TextFunctions.langId(t))
+      val docs = table(s, dir, "documents")
+      docs
+        .select(langUdf(col("text")).as("lang_pred"),
+          graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          max(col("lang_pred").isNull.cast("int")).as("any_null_pred"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -301,6 +422,55 @@ object SparkEntry {
       """SELECT CAST(p AS DOUBLE) AS p, (SELECT count(*) FROM lineitem) AS n, true AS ok
          FROM (SELECT 0.1 AS p UNION ALL SELECT 0.5 UNION ALL SELECT 0.9
                UNION ALL SELECT 0.99) ORDER BY p""",
-    "q09_hist_merge_invariance" -> "SELECT true AS invariant"
+    "q09_hist_merge_invariance" -> "SELECT true AS invariant",
+    "q10_doc_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                (n_chars = length(text)) AS n_chars_ok
+         FROM documents""",
+    "q11_doc_quality" ->
+      """SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    t -> t IN ('the','a','an','and','or','of','to','in','is','it','that',
+                               'for','on','as','with','was','at','by','this','be','are')))
+                  AS n_stopwords,
+                length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+         FROM documents""",
+    "q12_dedup_exact" ->
+      """WITH canon AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS c
+           FROM documents)
+         SELECT count(*) AS n_docs,
+                count(DISTINCT c) AS n_unique,
+                (SELECT count(*) FROM (SELECT c FROM canon GROUP BY c HAVING count(*) > 1))
+                  AS n_dup_groups,
+                (SELECT sum(m) FROM (SELECT min(doc_id) AS m FROM canon GROUP BY c))
+                  AS sum_rep_id
+         FROM canon""",
+    "q13_minhash_lsh" -> "SELECT true AS recall_ok, true AS precision_ok",
+    "q14_simhash" ->
+      "SELECT (SELECT count(*) FROM documents) AS n_docs, true AS collisions_similar",
+    "q15_embedding_topk" ->
+      """SELECT query_id, neighbor_id FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                             b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           WHERE a.vec_id < 20)
+         WHERE rnk = 1 ORDER BY query_id""",
+    "q16_ann_recall" ->
+      "SELECT (SELECT count(*) FROM embeddings) AS n_queries, true AS recall_ok",
+    "q17_langid_fp" ->
+      """SELECT count(*) AS n_docs,
+                count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  AS n_distinct_fp,
+                0 AS any_null_pred
+         FROM documents"""
   )
 }

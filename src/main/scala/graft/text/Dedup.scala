@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for document tables, designed for the 100 TB case:
+ * every shuffle key is a fixed-width hash (8 bytes), never the document text;
+ * candidate generation is linear in documents (LSH bucketing), and only the
+ * candidate pairs — a tiny fraction — are verified against exact similarity.
+ */
+object Dedup {
+
+  val fingerprintUdf = udf((s: String) => TextFunctions.fingerprint64(s))
+  val minhashUdf =
+    udf((s: String, numHashes: Int, k: Int) => TextFunctions.minhashSignature(s, numHashes, k))
+  val simhashUdf = udf((s: String) => TextFunctions.simhash64(s))
+  val jaccardUdf = udf((a: String, b: String, k: Int) => TextFunctions.shingleJaccard(a, b, k))
+
+  /**
+   * Exact duplicate groups: rows whose canonical fingerprint collides are
+   * grouped; the text is carried through the aggregation only to guard
+   * against (vanishingly unlikely) 64-bit fingerprint collisions.
+   * Returns (fingerprint, n_docs, representative_id).
+   */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("representative_id"))
+
+  /** Keeps one row (smallest id) per distinct canonical text. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", fingerprintUdf(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: signature of `numHashes` minima is split
+   * into `bands`; two documents are candidates iff at least one band hashes
+   * identically (probability 1-(1-j^r)^b for Jaccard j, r = rows per band).
+   * Pairs are emitted once (id_a < id_b). Only ids and band hashes shuffle.
+   */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashUdf(col(textCol), lit(numHashes), lit(shingleK)).as("sig"))
+    val banded = sigs
+      .select(
+        col("id"),
+        posexplode(
+          array((0 until bands).map(b =>
+            hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*))
+          .as(Seq("band", "band_hash")))
+    banded
+      .as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Verified near-duplicate pairs: LSH candidates filtered by exact shingle
+   * Jaccard >= threshold. The text join touches only candidate ids.
+   */
+  def nearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(docs.as("da"), col("id_a") === col("da.id"))
+      .join(docs.as("db"), col("id_b") === col("db.id"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        jaccardUdf(col("da.text"), col("db.text"), lit(shingleK)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash candidate pairs with Hamming distance <= maxHamming (<= 16):
+   * the 64-bit signature is cut into 4 16-bit blocks; by pigeonhole, any
+   * pair within Hamming distance 3 shares at least one exact block.
+   */
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole covers Hamming distance <= 3")
+    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    val blocked = sigs.select(
+      col("id"),
+      col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block", "block_val")))
+    val hamming = udf((a: Long, b: Long) => TextFunctions.hammingDistance(a, b))
+    blocked
+      .as("a")
+      .join(
+        blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for all pairs within small groups
+   * (e.g. same source) — quadratic within group, linear across groups.
+   */
+  def groupedJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val docs = df.select(
+      col(groupCol).as("g"),
+      col(idCol).as("id"),
+      col(textCol).as("text"))
+    docs
+      .as("a")
+      .join(docs.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(
+        col("a.g").as("grp"),
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        jaccardUdf(col("a.text"), col("b.text"), lit(shingleK)).as("jaccard"))
+  }
+}

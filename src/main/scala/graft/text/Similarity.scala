@@ -1,0 +1,242 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ * The exact path (`cosineTopK`) computes dot products with Catalyst
+ * higher-order functions (`zip_with` + `aggregate`) — whole-stage codegen,
+ * no UDF — and is quadratic: the correctness baseline.
+ *
+ * The scale path (`lshCosineTopK`) buckets by random-hyperplane sign
+ * signatures (Charikar 2002): L independent tables of `planes` bits each;
+ * collisions in any table become candidates, candidates are ranked by exact
+ * cosine. Cost is linear in rows + candidate pairs, and the bucket join
+ * shuffles only (id, table, 32-bit signature).
+ */
+object Similarity {
+
+  /** L2 norm of a float vector column, in codegen. */
+  private def l2norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact top-k cosine neighbors for each query row against the corpus.
+   * Returns (query_id, neighbor_id, cosine, rank). Self-pairs excluded when
+   * ids collide.
+   */
+  def cosineTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic gaussian hyperplanes: planes(table)(plane)(dim). */
+  private def hyperplanes(tables: Int, planes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    def splitmix(state: Long): Long = {
+      var z = state + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(tables, planes, dim) { (t, p, d) =>
+      // Box-Muller over two deterministic uniforms
+      val s1 = splitmix(seed ^ (t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
+      val s2 = splitmix(s1)
+      val u1 = math.max(1e-12, (s1 >>> 11) * 1.1102230246251565e-16)
+      val u2 = (s2 >>> 11) * 1.1102230246251565e-16
+      math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+  }
+
+  /**
+   * Approximate top-k cosine neighbors via sign-LSH bucketing; recall grows
+   * with `tables`. Returns (query_id, neighbor_id, cosine, rank).
+   */
+  def lshCosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 12,
+      tables: Int = 6,
+      seed: Long = 7L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val hp = hyperplanes(tables, planes, dim, seed)
+    val sigUdf = udf((vec: Seq[Float]) => {
+      val out = new Array[Int](hp.length)
+      var t = 0
+      while (t < hp.length) {
+        var sig = 0
+        var p = 0
+        while (p < hp(t).length) {
+          var s = 0.0
+          val plane = hp(t)(p)
+          var d = 0
+          while (d < plane.length && d < vec.length) {
+            s += plane(d) * vec(d)
+            d += 1
+          }
+          if (s >= 0) sig |= (1 << p)
+          p += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
+    })
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigUdf(col(vecCol)).as("sigs"))
+    val buckets = sigs.select(
+      col("id"),
+      posexplode(col("sigs")).as(Seq("table", "sig")))
+    val cands = buckets
+      .as("a")
+      .join(
+        buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .distinct()
+    val vecs = sigs.select(col("id"), col("v"))
+    val scored = cands
+      .join(vecs.as("qa"), col("query_id") === col("qa.id"))
+      .join(vecs.as("qb"), col("neighbor_id") === col("qb.id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("qa.v"), col("qb.v")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic spherical k-means (Lloyd's iterations on a driver-side
+   * sample) — the IVF coarse quantizer. Returns unit centroids. */
+  private[text] def trainCentroids(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    val rnd = new java.util.SplittableRandom(seed)
+    val centroids = Array.tabulate(math.min(k, unit.length))(_ =>
+      unit(rnd.nextInt(unit.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      unit.foreach { v =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- centroids.indices if counts(c) > 0) {
+        centroids(c) = normalize(sums(c))
+      }
+    }
+    centroids
+  }
+
+  /**
+   * IVF approximate top-k: corpus vectors are bucketed by nearest centroid
+   * (trained on a driver-side sample); each query probes its `probes`
+   * nearest centroid buckets and ranks those candidates by exact cosine.
+   * Scan fraction ~ probes/centroids of the corpus; the bucket join key is
+   * one int. Returns (query_id, neighbor_id, cosine, rank).
+   */
+  def ivfCosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Int = 32,
+      probes: Int = 8,
+      sampleSize: Int = 100000,
+      kmeansIters: Int = 10,
+      seed: Long = 17L): DataFrame = {
+    val sample = df
+      .select(col(vecCol))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cents = trainCentroids(sample, centroids, kmeansIters, seed)
+    val assignUdf = udf((vec: Seq[Float]) => {
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0
+        var i = 0
+        val cc = cents(c)
+        while (i < cc.length && i < vec.length) { d += cc(i) * vec(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val nProbes = math.min(probes, cents.length)
+    val probeUdf = udf((vec: Seq[Float]) => {
+      val dots = cents.indices.map { c =>
+        var d = 0.0
+        var i = 0
+        val cc = cents(c)
+        while (i < cc.length && i < vec.length) { d += cc(i) * vec(i); i += 1 }
+        (c, d)
+      }
+      dots.sortBy(-_._2).take(nProbes).map(_._1).toArray
+    })
+    val corpus = df.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      assignUdf(col(vecCol)).as("bucket"))
+    val queries = df.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(probeUdf(col(vecCol))).as("bucket"))
+    val scored = queries
+      .join(corpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class DedupSparkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.spark.SparkTestSession.spark
+
+  private def docsDf = {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(11L)
+    def randText(n: Int, vocabOffset: Int = 0): String =
+      (0 until n).map(_ => s"w${vocabOffset + rnd.nextInt(500)}").mkString(" ")
+    val originals = (0 until 80).map(i => (i.toLong, randText(120)))
+    // exact duplicates of doc 0 and 1
+    val exactDups = Seq((1000L, originals(0)._2), (1001L, originals(1)._2))
+    // near duplicate of doc 2: ~92% of tokens shared
+    val near = {
+      val toks = originals(2)._2.split(" ")
+      (1002L, (toks.take(110) ++ (0 until 10).map(i => s"extra$i")).mkString(" "))
+    }
+    // disjoint-vocabulary documents
+    val unrelated = (0 until 20).map(i => (2000L + i, randText(120, vocabOffset = 100000)))
+    (originals ++ exactDups ++ Seq(near) ++ unrelated).toDF("doc_id", "text")
+  }
+
+  test("exact duplicate groups and drop-duplicates") {
+    val groups = Dedup.exactDuplicateGroups(docsDf, "doc_id", "text")
+    assert(groups.count() == docsDf.count() - 2) // two exact dup rows collapse
+    val dups = groups.filter(col("n_docs") > 1).collect()
+    assert(dups.length == 2)
+    assert(dups.forall(_.getAs[Long]("representative_id") < 1000L))
+    val kept = Dedup.dropExactDuplicates(docsDf, "doc_id", "text")
+    assert(kept.count() == docsDf.count() - 2)
+    assert(kept.filter(col("doc_id").isin(1000L, 1001L)).count() == 0)
+  }
+
+  test("minhash LSH finds exact and near duplicates; verified pairs thresholded") {
+    val pairs = Dedup.nearDuplicatePairs(docsDf, "doc_id", "text", threshold = 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((0L, 1000L)), "exact dup pair 0-1000 missed")
+    assert(pairSet.contains((1L, 1001L)), "exact dup pair 1-1001 missed")
+    assert(pairSet.contains((2L, 1002L)), "near dup pair 2-1002 missed")
+    assert(pairs.forall(_._3 >= 0.7))
+    // no pair should bridge the disjoint vocabularies
+    assert(!pairs.exists(p => p._1 < 2000 && p._2 >= 2000))
+  }
+
+  test("simhash candidates catch exact duplicates within hamming bound") {
+    val cands = Dedup.simhashCandidates(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(cands.contains((0L, 1000L)))
+    assert(cands.contains((1L, 1001L)))
+  }
+
+  test("grouped jaccard pairs are exact and complete within groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, "a b c d e f"),
+      ("g1", 2L, "a b c d e g"),
+      ("g1", 3L, "x y z w v u"),
+      ("g2", 4L, "p q r s t u")).toDF("src", "doc_id", "text")
+    val pairs = Dedup.groupedJaccardPairs(df, "doc_id", "text", "src")
+    assert(pairs.count() == 3) // C(3,2) within g1, none across groups
+    val j12 = pairs.filter(col("id_a") === 1 && col("id_b") === 2).collect()(0).getDouble(3)
+    // 4 shingles each, 3 shared => 3/5
+    assert(math.abs(j12 - 0.6) < 1e-9)
+  }
+}
+
+class SimilaritySparkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.spark.SparkTestSession.spark
+
+  private def vecsDf = {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(21L)
+    val dim = 32
+    // 10 cluster centers, 20 points each, gaussian noise
+    val centers = Array.fill(10, dim)(rnd.nextGaussian().toFloat)
+    val rows = for {
+      c <- 0 until 10
+      i <- 0 until 20
+    } yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force cosine top-k: neighbors come from the same cluster") {
+    val top1 = Similarity
+      .cosineTopK(vecsDf.limit(30), vecsDf, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top1.length == 30)
+    // same cluster = same id/20 bucket
+    val sameCluster = top1.count(r => r.getLong(0) / 20 == r.getLong(1) / 20)
+    assert(sameCluster >= 28, s"only $sameCluster/30 top-1 neighbors in-cluster")
+  }
+
+  test("LSH ANN achieves >=80% top-1 recall vs brute force") {
+    val exact = Similarity
+      .cosineTopK(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val approx = Similarity
+      .lshCosineTopK(vecsDf, "vec_id", "embedding", k = 1, planes = 10, tables = 8)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH top-1 recall $recall")
+  }
+}
