@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-round benchmark: times every SparkEntry query at the given scale
+ * factor, plus a sketch-update engine throughput probe (the BASELINE.json
+ * headline metric, turns/sec). Prints ONE JSON line.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $sec%.2f s")
+      name -> sec
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // engine throughput probe: grouped sketch updates over synthesized
+    // turn-length features (no I/O), 2x10^8 rows, best of 2
+    val layout = graft.core.LogQuadraticLayout(1e-2, 1e-2, 0, 1e9)
+    val n = 200000000L
+    def engine(): Unit =
+      spark
+        .range(0, n, 1, cpus.toInt * 4)
+        .select(
+          (col("id") % 4).as("role_idx"),
+          exp(
+            (pmod(hash(col("id")), lit(100000)).cast("double") / 100000.0)
+              * lit(math.log(1e4) - math.log(10.0)) + lit(math.log(10.0))).as("turn_len"))
+        .groupBy(col("role_idx"))
+        .agg(graft.spark.functions.hist_sketch(col("turn_len"), layout))
+        .collect()
+    engine() // warm-up
+    var engineBest = Double.MaxValue
+    for (_ <- 0 until 2) {
+      val t0 = System.nanoTime()
+      engine()
+      engineBest = math.min(engineBest, (System.nanoTime() - t0) / 1e9)
+    }
+    val turnsPerSec = n / engineBest
+
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""sketch_update":{"rows":$n,"sec":${f"$engineBest%.2f"},""" +
+        s""""turns_per_sec":${f"$turnsPerSec%.0f"}}}""")
     spark.stop()
   }
 }

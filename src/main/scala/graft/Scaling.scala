@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling-efficiency evidence (north rule: >= 0.8 between N and 4N
+ * executors). No real cluster exists in this sandbox, so the same job runs
+ * at two parallelism levels — local[8] and local[32] — and we report
+ * throughput at both plus efficiency = throughput(4N) / (4 * throughput(N)).
+ *
+ * Two measurements, each in its own child JVM (sequential SparkSessions in
+ * one JVM contaminate each other through GC/JIT state):
+ *
+ *  - "engine" (primary, the BASELINE.json metric): grouped sketch-update
+ *    throughput in turns/sec over 10^9 synthesized transcript-feature rows
+ *    (log-uniform turn lengths, 4 roles) — pure codegen + partial/final
+ *    sketch aggregation, no disk. This is the component that must scale on
+ *    a 1000-executor cluster.
+ *
+ *  - "pipeline" (secondary): the end-to-end transcript job over a parquet
+ *    table. In this sandbox it is capped by the single virtio disk
+ *    (~700 MB/s regardless of threads; guest page cache ~1 GiB), which a
+ *    real cluster does not share — reported for completeness.
+ */
+object Scaling {
+
+  private def session(cpus: Int): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      // 2x cores without AQE coalescing: the coalescer collapses reduce
+      // parallelism below the core count on these shuffle sizes (measured
+      // 3x slower window stages with it on)
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Grouped sketch-update engine measurement (no I/O). */
+  private def engineJob(spark: SparkSession, cpus: Int, n: Long): Unit = {
+    val layout = graft.core.LogQuadraticLayout(1e-2, 1e-2, 0, 1e9)
+    spark
+      .range(0, n, 1, cpus * 4)
+      .select(
+        (col("id") % 4).as("role_idx"),
+        exp(
+          (pmod(hash(col("id")), lit(100000)).cast("double") / 100000.0)
+            * lit(math.log(1e4) - math.log(10.0)) + lit(math.log(10.0))).as("turn_len"))
+      .groupBy(col("role_idx"))
+      .agg(graft.spark.functions.hist_sketch(col("turn_len"), layout))
+      .collect()
+  }
+
+  private def measureChild(mode: String, cpus: Int, arg: String): Unit = {
+    val spark = session(cpus)
+    try {
+      mode match {
+        case "engine" =>
+          val n = arg.toLong
+          engineJob(spark, cpus, n) // warm-up
+          var best = Double.MaxValue
+          for (_ <- 0 until 3) {
+            val t0 = System.nanoTime()
+            engineJob(spark, cpus, n)
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(s"GRAFT_SCALING_RESULT $n $best")
+        case "pipeline" =>
+          val df = spark.read
+            .parquet(arg)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          graft.spark.TranscriptJob.runWithTextFeatures(spark, df) // warm-up + cache fill
+          var best = Double.MaxValue
+          var turns = 0L
+          for (_ <- 0 until 3) {
+            val t0 = System.nanoTime()
+            val r = graft.spark.TranscriptJob.runWithTextFeatures(spark, df)
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            turns = r.turns
+          }
+          println(s"GRAFT_SCALING_RESULT $turns $best")
+      }
+    } finally spark.stop()
+  }
+
+  private def spawnChild(mode: String, cpus: Int, arg: String): (Long, Double) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+    val heap = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "24g")
+    val jvmArgs = new java.util.ArrayList[String]()
+    inherited.forEach(a => if (!a.startsWith("-Xmx") && !a.startsWith("-Xms")) jvmArgs.add(a))
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    cmd.addAll(jvmArgs)
+    cmd.add(s"-Xmx$heap")
+    cmd.add("-cp")
+    cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Scaling")
+    cmd.add(mode)
+    cmd.add(cpus.toString)
+    cmd.add(arg)
+    val proc = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val code = proc.waitFor()
+    require(code == 0, s"child ($mode, cpus=$cpus) failed with $code:\n${out.takeRight(2000)}")
+    val line = out.linesIterator
+      .find(_.startsWith("GRAFT_SCALING_RESULT"))
+      .getOrElse(sys.error(s"no result line in child output:\n${out.takeRight(2000)}"))
+    val parts = line.split(" ")
+    (parts(1).toLong, parts(2).toDouble)
+  }
+
+  private def block(
+      name: String,
+      turns: Long,
+      lowCpus: Int,
+      secLow: Double,
+      highCpus: Int,
+      secHigh: Double): (Double, String) = {
+    val thrLow = turns / secLow
+    val thrHigh = turns / secHigh
+    val eff = thrHigh / ((highCpus.toDouble / lowCpus) * thrLow)
+    val json =
+      s""""$name":{"turns":$turns,"efficiency":${f"$eff%.4f"},""" +
+        s""""low":{"cpus":$lowCpus,"sec":${f"$secLow%.2f"},"turns_per_sec":${f"$thrLow%.0f"}},""" +
+        s""""high":{"cpus":$highCpus,"sec":${f"$secHigh%.2f"},"turns_per_sec":${f"$thrHigh%.0f"}}}"""
+    (eff, json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length == 3) {
+      measureChild(args(0), args(1).toInt, args(2))
+      return
+    }
+    val (lowCpus, highCpus) = (8, 32)
+    val engineRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000000")
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "400000").toLong
+
+    // primary: sketch-update engine
+    val (nLow, engLow) = spawnChild("engine", lowCpus, engineRows)
+    val (nHigh, engHigh) = spawnChild("engine", highCpus, engineRows)
+    require(nLow == nHigh)
+    val (engEff, engJson) = block("engine", nLow, lowCpus, engLow, highCpus, engHigh)
+
+    // secondary: end-to-end pipeline over parquet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scaling").toString
+    val inputDir = s"$tmp/transcripts"
+    locally {
+      val spark = session(32)
+      try {
+        graft.spark.Transcripts
+          .synthesize(spark, numConvs, maxTextLen = 1000)
+          .toDF()
+          .write
+          .parquet(inputDir)
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val (tLow, pipeLow) = spawnChild("pipeline", lowCpus, inputDir)
+    val (tHigh, pipeHigh) = spawnChild("pipeline", highCpus, inputDir)
+    require(tLow == tHigh, "determinism violation: turn counts differ")
+    val (_, pipeJson) = block("pipeline", tLow, lowCpus, pipeLow, highCpus, pipeHigh)
+
+    println(
+      s"""{"metric":"scaling_efficiency","value":${f"$engEff%.4f"},"unit":"ratio",""" +
+        s"$engJson,$pipeJson}")
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(tmp)).deleteRecursively()
+  }
+}

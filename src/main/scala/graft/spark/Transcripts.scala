@@ -82,7 +82,8 @@ object Transcripts {
       numConvs: Long,
       avgTurns: Int = 20,
       seed: Long = 42L,
-      hotFactor: Int = 200): Dataset[Turn] = {
+      hotFactor: Int = 200,
+      maxTextLen: Int = 10000): Dataset[Turn] = {
     import spark.implicits._
     val baseEpochMs = 1700000000000L // fixed epoch; no wall-clock dependence
     spark
@@ -104,7 +105,9 @@ object Transcripts {
         (0 until turnCount).iterator.map { turnIdx =>
           val role = Roles(turnIdx % Roles.length)
           val lenDraw = unit(next())
-          val len = math.exp(lenDraw * (math.log(1e4) - math.log(10.0)) + math.log(10.0)).toInt
+          val len = math
+            .exp(lenDraw * (math.log(maxTextLen.toDouble) - math.log(10.0)) + math.log(10.0))
+            .toInt
           val off = (next() >>> 40).toInt % (BasePool.length - 10001)
           val text = BasePool.substring(off, off + len)
           val tool = if (role == "tool") Tools((next() >>> 33).toInt % Tools.length) else null

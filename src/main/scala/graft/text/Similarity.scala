@@ -31,6 +31,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine as a compiled UDF — same double math as [[cosine]] but without
+   * per-row array materialization; used on candidate pairs in the ANN paths. */
+  private[text] val fastCosineUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val len = math.min(a.length, b.length)
+    var i = 0
+    while (i < len) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  })
+
   /**
    * Exact top-k cosine neighbors for each query row against the corpus.
    * Returns (query_id, neighbor_id, cosine, rank). Self-pairs excluded when
@@ -54,6 +73,69 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /**
+   * Exact top-k via a broadcast corpus: each partition scores its queries
+   * against the in-memory corpus with primitive double math and keeps a
+   * bounded top-k — no pair materialization, no shuffle, no window. The
+   * right physical shape whenever the corpus fits in executor memory
+   * (classic broadcast-nested-loop with early top-k pruning). Semantics
+   * identical to [[cosineTopK]] (ties broken by ascending neighbor id).
+   */
+  def cosineTopKBroadcast(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val corpusData: Array[(Long, Array[Double], Double)] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val bc = spark.sparkContext.broadcast(corpusData)
+    queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpusArr = bc.value
+        it.flatMap { case (qid, qvF) =>
+          val qv = qvF.map(_.toDouble)
+          val qn = math.sqrt(qv.map(x => x * x).sum)
+          // bounded top-k: (cosine desc, neighbor_id asc)
+          val heap = new java.util.PriorityQueue[(Double, Long)](
+            k + 1,
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse))
+          var i = 0
+          while (i < corpusArr.length) {
+            val (nid, nv, nn) = corpusArr(i)
+            if (nid != qid) {
+              var dot = 0.0
+              var d = 0
+              val len = math.min(qv.length, nv.length)
+              while (d < len) { dot += qv(d) * nv(d); d += 1 }
+              val cos = dot / (qn * nn)
+              heap.add((cos, nid))
+              if (heap.size > k) heap.poll()
+            }
+            i += 1
+          }
+          val out = new Array[(Long, Long, Double, Int)](heap.size)
+          var rank = heap.size
+          while (!heap.isEmpty) {
+            val (cos, nid) = heap.poll()
+            out(rank - 1) = (qid, nid, cos, rank)
+            rank -= 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** Deterministic gaussian hyperplanes: planes(table)(plane)(dim). */
@@ -129,7 +211,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosine(col("qa.v"), col("qb.v")).as("cosine"))
+        fastCosineUdf(col("qa.v"), col("qb.v")).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -199,7 +281,17 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val cents = trainCentroids(sample, centroids, kmeansIters, seed)
-    val assignUdf = udf((vec: Seq[Float]) => {
+    val nProbes = math.min(probes, cents.length)
+
+    // Bucket the corpus into inverted lists by nearest centroid and
+    // broadcast them; queries probe their nearest `nProbes` buckets
+    // executor-locally with primitive math and a bounded top-k — no join,
+    // no window, no shuffle. (Beyond executor memory, the same structure
+    // shards the inverted lists across executors and fans queries out per
+    // shard; the probe math is unchanged.)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nearestCentroid(v: Array[Double]): Int = {
       var best = 0
       var bestDot = Double.NegativeInfinity
       var c = 0
@@ -207,36 +299,68 @@ object Similarity {
         var d = 0.0
         var i = 0
         val cc = cents(c)
-        while (i < cc.length && i < vec.length) { d += cc(i) * vec(i); i += 1 }
+        while (i < cc.length && i < v.length) { d += cc(i) * v(i); i += 1 }
         if (d > bestDot) { bestDot = d; best = c }
         c += 1
       }
       best
-    })
-    val nProbes = math.min(probes, cents.length)
-    val probeUdf = udf((vec: Seq[Float]) => {
-      val dots = cents.indices.map { c =>
-        var d = 0.0
-        var i = 0
-        val cc = cents(c)
-        while (i < cc.length && i < vec.length) { d += cc(i) * vec(i); i += 1 }
-        (c, d)
+    }
+    val bucketed: Array[Array[(Long, Array[Double], Double)]] = {
+      val buckets = Array.fill(cents.length)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)])
+      df.select(col(idCol).cast("long"), col(vecCol)).collect().foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        buckets(nearestCentroid(v)) += ((r.getLong(0), v, math.sqrt(v.map(x => x * x).sum)))
       }
-      dots.sortBy(-_._2).take(nProbes).map(_._1).toArray
-    })
-    val corpus = df.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
-      assignUdf(col(vecCol)).as("bucket"))
-    val queries = df.select(
-      col(idCol).as("query_id"),
-      col(vecCol).as("qv"),
-      explode(probeUdf(col(vecCol))).as("bucket"))
-    val scored = queries
-      .join(corpus, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      buckets.map(_.toArray)
+    }
+    val bcBuckets = spark.sparkContext.broadcast(bucketed)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bucketsArr = bcBuckets.value
+        val centsArr = bcCents.value
+        it.flatMap { case (qid, qvF) =>
+          val qv = qvF.map(_.toDouble)
+          val qn = math.sqrt(qv.map(x => x * x).sum)
+          val dots = centsArr.indices.map { c =>
+            var d = 0.0
+            var i = 0
+            val cc = centsArr(c)
+            while (i < cc.length && i < qv.length) { d += cc(i) * qv(i); i += 1 }
+            (c, d)
+          }
+          val probeIds = dots.sortBy(-_._2).take(nProbes).map(_._1)
+          val heap = new java.util.PriorityQueue[(Double, Long)](
+            k + 1,
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse))
+          probeIds.foreach { b =>
+            val list = bucketsArr(b)
+            var i = 0
+            while (i < list.length) {
+              val (nid, nv, nn) = list(i)
+              if (nid != qid) {
+                var dot = 0.0
+                var d = 0
+                val len = math.min(qv.length, nv.length)
+                while (d < len) { dot += qv(d) * nv(d); d += 1 }
+                heap.add((dot / (qn * nn), nid))
+                if (heap.size > k) heap.poll()
+              }
+              i += 1
+            }
+          }
+          val out = new Array[(Long, Long, Double, Int)](heap.size)
+          var rank = heap.size
+          while (!heap.isEmpty) {
+            val (cos, nid) = heap.poll()
+            out(rank - 1) = (qid, nid, cos, rank)
+            rank -= 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 }

@@ -104,9 +104,25 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(sameCluster >= 28, s"only $sameCluster/30 top-1 neighbors in-cluster")
   }
 
+  test("broadcast top-k is identical to the Catalyst cross-join top-k") {
+    val a = Similarity
+      .cosineTopK(vecsDf.limit(40), vecsDf, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val b = Similarity
+      .cosineTopKBroadcast(vecsDf.limit(40), vecsDf, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(a == b)
+  }
+
   test("LSH ANN achieves >=80% top-1 recall vs brute force") {
     val exact = Similarity
-      .cosineTopK(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
+      .cosineTopKBroadcast(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
       .select(col("query_id"), col("neighbor_id"))
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
