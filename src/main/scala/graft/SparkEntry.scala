@@ -425,6 +425,27 @@ object SparkEntry {
         new Directory(new java.io.File(tmp)).deleteRecursively()
       }
     },
+    // 19. multimodal plumbing: documents' text treated as opaque binary
+    //     payloads, run through the batch decode-stub/feature pipeline;
+    //     byte accounting is re-derived exactly by the oracle
+    "q19_multimodal" -> { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(
+          col("doc_id").as("media_id"),
+          lit("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("media"),
+          col("source"))
+        .as[graft.multimodal.MediaRow]
+      val feats = graft.multimodal.Multimodal.extractFeatures(media)
+      feats
+        .toDF()
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(size(col("embedding"))).as("emb_dim"),
+          (min(col("width")) >= 64).as("decode_ok"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -525,6 +546,9 @@ object SparkEntry {
     "q18_checkpoint_resume" ->
       """SELECT count(*) AS rows_consumed, true AS resume_ok, true AS result_equal,
                 true AS lineage_ok FROM lineitem""",
+    "q19_multimodal" ->
+      """SELECT count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes,
+                16 AS emb_dim, true AS decode_ok FROM documents""",
     "q17_langid_fp" ->
       """SELECT count(*) AS n_docs,
                 count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))

@@ -423,6 +423,10 @@ final class Histogram private (val layout: Layout) extends Serializable {
     s"Histogram(layout=$layout, total=$totalCountVar, min=$minVar, max=$maxVar, " +
       s"underflow=$underflowCountVar, overflow=$overflowCountVar)"
 
+  /** Rough in-memory footprint: counter window + fixed fields. */
+  def estimatedFootprintBytes: Long =
+    16L + counts.length.toLong * 8L + 4L + 3L * 8L + 2L * 8L
+
   // internal accessors for serde and preprocessing
   private[core] def regularWindowStart: Int = windowStart
   private[core] def regularWindow: Array[Long] = counts

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.{Layout, SketchEnvelope}
+
+/**
+ * Structured-streaming surface for the sketches. The aggregators are
+ * streaming-ready by construction (bounded state, associative merge), so
+ * they compose with windowed streaming aggregation directly; for explicit
+ * per-key state we keep the serialized sketch envelope in a
+ * `flatMapGroupsWithState` state cell and merge each micro-batch into it.
+ */
+object StreamingSketch {
+
+  /** Event-time windowed histogram sketches: standard watermark + window
+   * grouping with the histogram UDAF as the aggregate. */
+  def windowedHistogram(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      layout: Layout,
+      windowDuration: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(graft.spark.functions.hist_sketch(col(valueCol), layout).as("sketch"))
+      .select(
+        col("window.start").as("window_start"),
+        graft.spark.functions.hist_total(col("sketch")).as("n"),
+        graft.spark.functions.hist_quantile(col("sketch"), 0.5).as("p50"),
+        col("sketch"))
+
+  /** Per-key running sketch state: each micro-batch's values merge into the
+   * key's serialized sketch; emits (key, total, p50) after every update. */
+  def statefulPerKeyHistogram(
+      rows: Dataset[(String, Double)],
+      layout: Layout): Dataset[(String, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, values: Iterator[(String, Double)], state: GroupState[Array[Byte]]) => {
+          val h =
+            if (state.exists) SketchEnvelope.fromBytes(state.get)
+            else graft.core.Histogram(layout)
+          values.foreach(v => h.addValue(v._2))
+          state.update(SketchEnvelope.toBytes(h))
+          Iterator.single((key, h.totalCount, h.quantile(0.5)))
+        })
+  }
+}
