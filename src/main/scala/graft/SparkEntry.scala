@@ -36,6 +36,16 @@ object SparkEntry {
     s"CASE $whens ELSE ${boundaries.length} END"
   }
 
+  /** DuckDB CASE mapping `col` to this layout's ABSOLUTE bin index using the
+   * layout's own exact bin lower bounds as literals — the oracle then counts
+   * per bin independently, verifying both the mapping and the bounds. */
+  private def layoutBinCaseSql(col: String, layout: Layout, loIdx: Int, hiIdx: Int): String = {
+    val whens = (loIdx to hiIdx)
+      .map(i => s"WHEN $col < ${dlit(layout.binLowerBound(i + 1))} THEN $i")
+      .mkString(" ")
+    s"CASE $whens ELSE ${hiIdx + 1} END"
+  }
+
   // layouts shared by queries and oracles
   private val priceBoundaries = Seq(0.0, 1000.0, 2000.0, 4000.0, 8000.0, 16000.0, 32000.0, 64000.0)
   private val priceLayout = CustomLayout(priceBoundaries.toArray)
@@ -446,6 +456,16 @@ object SparkEntry {
           min(size(col("embedding"))).as("emb_dim"),
           (min(col("width")) >= 64).as("decode_ok"))
     },
+    // 20. OpenTelemetry exponential-buckets layout: exploded bin counts,
+    //     re-counted by the oracle against the layout's own exact bin
+    //     boundaries (verifies the OTel mapping + bound inversion end-to-end)
+    "q20_otel_bins" -> { (s, dir) =>
+      val layout = OtelExponentialLayout(4)
+      table(s, dir, "lineitem")
+        .agg(hist_sketch(col("l_quantity"), layout).as("sk"))
+        .select(explode(hist_bins(col("sk"))).as("b"))
+        .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -549,6 +569,13 @@ object SparkEntry {
     "q19_multimodal" ->
       """SELECT count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes,
                 16 AS emb_dim, true AS decode_ok FROM documents""",
+    "q20_otel_bins" -> {
+      val layout = OtelExponentialLayout(4)
+      val loIdx = layout.mapToBinIndex(1.0)
+      val hiIdx = layout.mapToBinIndex(51.0)
+      s"""SELECT ${layoutBinCaseSql("l_quantity", layout, loIdx, hiIdx)} AS bin_index,
+          count(*) AS cnt FROM lineitem GROUP BY 1"""
+    },
     "q17_langid_fp" ->
       """SELECT count(*) AS n_docs,
                 count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))

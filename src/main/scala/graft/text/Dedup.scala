@@ -18,6 +18,33 @@ object Dedup {
   val simhashUdf = udf((s: String) => TextFunctions.simhash64(s))
   val jaccardUdf = udf((a: String, b: String, k: Int) => TextFunctions.shingleJaccard(a, b, k))
 
+  /** Sorted shingle-hash set of a text — computed once per document so pair
+   * verification does not re-tokenize (documents appear in many pairs). */
+  val shinglesUdf = udf((s: String, k: Int) => {
+    val h = TextFunctions.shingleHashes(s, k)
+    java.util.Arrays.sort(h)
+    h
+  })
+
+  /** Exact Jaccard of two pre-sorted shingle-hash arrays (linear merge). */
+  val jaccardSortedUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else if (a.isEmpty || b.isEmpty) 0.0
+    else {
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i)
+        val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+  })
+
   /**
    * Exact duplicate groups: rows whose canonical fingerprint collides are
    * grouped; the text is carried through the aggregation only to guard
@@ -84,14 +111,17 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // shingle sets computed once per document, pairs verified by array merge
+    val docs = df.select(
+      col(idCol).as("id"),
+      shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
     cands
       .join(docs.as("da"), col("id_a") === col("da.id"))
       .join(docs.as("db"), col("id_b") === col("db.id"))
       .select(
         col("id_a"),
         col("id_b"),
-        jaccardUdf(col("da.text"), col("db.text"), lit(shingleK)).as("jaccard"))
+        jaccardSortedUdf(col("da.sh"), col("db.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -141,7 +171,7 @@ object Dedup {
     val docs = df.select(
       col(groupCol).as("g"),
       col(idCol).as("id"),
-      col(textCol).as("text"))
+      shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
     docs
       .as("a")
       .join(docs.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -149,6 +179,6 @@ object Dedup {
         col("a.g").as("grp"),
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        jaccardUdf(col("a.text"), col("b.text"), lit(shingleK)).as("jaccard"))
+        jaccardSortedUdf(col("a.sh"), col("b.sh")).as("jaccard"))
   }
 }

@@ -1,0 +1,126 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, countDistinct, length => sqlLength}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.LogQuadraticLayout
+import graft.spark.functions._
+
+/** Physical-plan hygiene and accuracy parity against Spark's built-in
+ * approximate aggregates. */
+class PlanAndParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val layout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sketch aggregation prunes the parquet scan to the needed column") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = li
+      .agg(hist_sketch(col("l_extendedprice"), layout))
+      .queryExecution
+      .executedPlan
+      .toString
+    // ReadSchema must contain only the aggregated column, none of the other 10
+    assert(plan.contains("l_extendedprice"))
+    assert(!plan.contains("l_comment") && !plan.contains("l_orderkey"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(
+      readSchema.contains("l_extendedprice") && !readSchema.contains("l_quantity"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("filters push down to the parquet scan below the sketch aggregation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = li
+      .filter(col("l_quantity") > 10)
+      .agg(hist_sketch(col("l_extendedprice"), layout))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10"))
+  }
+
+  test("sketch aggregation plans as partial + final ObjectHashAggregate") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = li
+      .groupBy(col("l_returnflag"))
+      .agg(hist_sketch(col("l_extendedprice"), layout))
+      .queryExecution
+      .executedPlan
+      .toString
+    // two ObjectHashAggregate occurrences = map-side partial + final
+    val n = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final object hash aggregate, plan:\n$plan")
+  }
+
+  test("HLL accuracy is in the same class as approx_count_distinct (HLL++)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val row = orders
+      .agg(
+        hll_sketch_long(col("o_custkey")).as("ours"),
+        org.apache.spark.sql.functions.approx_count_distinct(col("o_custkey")).as("theirs"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .select(hll_estimate(col("ours")).as("ours"), col("theirs"), col("exact"))
+      .collect()(0)
+    val exact = row.getLong(2).toDouble
+    val ourErr = math.abs(row.getDouble(0) - exact) / exact
+    val theirErr = math.abs(row.getLong(1) - exact) / exact
+    assert(ourErr <= 0.05, s"our HLL err $ourErr")
+    // same accuracy class: within 3x of the built-in (both ~1% sketches)
+    assert(ourErr <= math.max(0.03, 3 * theirErr), s"ours=$ourErr theirs=$theirErr")
+  }
+
+  test("KLL quantiles agree with percentile_approx within rank tolerance") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val row = li
+      .agg(
+        kll_sketch(col("l_extendedprice"), 200).as("kll"),
+        org.apache.spark.sql.functions
+          .percentile_approx(col("l_extendedprice"), org.apache.spark.sql.functions.lit(0.5),
+            org.apache.spark.sql.functions.lit(10000))
+          .as("pa"))
+      .select(kll_quantile(col("kll"), 0.5).as("ours"), col("pa"))
+      .collect()(0)
+    val n = li.count()
+    val ourRank = li.filter(col("l_extendedprice") <= row.getDouble(0)).count().toDouble / n
+    val theirRank = li.filter(col("l_extendedprice") <= row.getDouble(1)).count().toDouble / n
+    assert(math.abs(ourRank - 0.5) <= 0.02, s"our rank $ourRank")
+    assert(math.abs(ourRank - 0.5) <= math.abs(theirRank - 0.5) + 0.02)
+  }
+
+  test("bloom filter parity with df.stat.bloomFilter on membership") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val n = cust.count()
+    val ours = graft.sketches.BloomFilter.fromBytes(
+      cust.agg(bloom_sketch(col("c_custkey"), n, 0.01)).collect()(0).getAs[Array[Byte]](0))
+    val theirs = cust.stat.bloomFilter("c_custkey", n, 0.01)
+    val keys = cust.select(col("c_custkey")).collect().map(_.getLong(0))
+    assert(keys.forall(ours.mightContainLong), "our bloom has a false negative")
+    assert(keys.forall(theirs.mightContainLong(_)), "spark bloom has a false negative")
+  }
+
+  test("GraftExtensions installs the SQL surface via withExtensions") {
+    val prior = spark // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a NEW session on the shared context, with extensions applied
+      val s2 = SparkSession
+        .builder()
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prior)
+      s2.range(100).createOrReplaceTempView("ext_t")
+      val r = s2
+        .sql("SELECT hist_total(hist_sketch(CAST(id AS DOUBLE))) AS n FROM ext_t")
+        .collect()(0)
+      assert(r.getLong(0) == 100L)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+}
