@@ -468,24 +468,19 @@ object HistogramSerde {
   // V0 (legacy read + write for round-trip compatibility tests)
   // -------------------------------------------------------------------------
 
-  /** Minimal counter bit-width class ("mode"): counts fit in 2^mode bits. */
+  /** Counter bit-width class ("mode") as computed by the reference's static
+   * histogram: required mode of the bit-OR of the raw regular counters
+   * (dynahist `StaticHistogram.java:93-99`, `AbstractHistogram.java:69-85`). */
   def minimalMode(h: Histogram): Int = {
-    var maxEff = 0L
-    if (h.totalCount >= 2) {
-      val eff = effectiveCounts(h)
-      if (eff.regular >= 1) {
-        val it = firstNonEmptyRegular(h)
-        maxEff = math.max(maxEff, effectiveCount(it))
-        val endIdx = lastNonEmptyRegular(h).binIndex
-        while (it.binIndex < endIdx) {
-          it.next()
-          maxEff = math.max(maxEff, effectiveCount(it))
-        }
-      }
-    }
-    var mode = 0
-    while ((64 - java.lang.Long.numberOfLeadingZeros(maxEff)) > (1 << mode)) mode += 1
-    mode
+    var mask = 0L
+    h.regularWindow.foreach(c => mask |= c)
+    if (mask > 0xffffffffL) 6
+    else if (mask > 0xffffL) 5
+    else if (mask > 0xffL) 4
+    else if (mask > 0xfL) 3
+    else if (mask > 0x3L) 2
+    else if (mask > 0x1L) 1
+    else 0
   }
 
   def writeV0(h: Histogram, out: DataOutput, modeOverride: Int = -1): Unit = {

@@ -83,6 +83,32 @@ class SerdeSpec extends AnyFunSuite {
     }
   }
 
+  test("V0 golden vectors match the reference byte-for-byte") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/v0_golden_vectors.txt"))
+    val vectors =
+      try src.getLines().filter(_.nonEmpty).map { line =>
+        val Array(s, h) = line.split(" ", 2)
+        (java.lang.Long.parseUnsignedLong(s, 16), h)
+      }.toList
+      finally src.close()
+    assert(vectors.size >= 10)
+    for ((seed, expectedHex) <- vectors) {
+      // reference generator (HistogramSerializationVersion0Test.java:28-43):
+      // static histogram over a small random CustomLayout, up to 10k points
+      val random = new java.util.SplittableRandom(seed)
+      val numDataPoints = random.nextInt(0, 10001)
+      val numBoundaries = random.nextInt(1, 10)
+      val boundaries = random.doubles(numBoundaries).sorted().toArray
+      val layout = CustomLayout(boundaries)
+      val h = Histogram(layout)
+      random.doubles(numDataPoints).forEach(v => h.addValue(v))
+      val bos = new ByteArrayOutputStream()
+      HistogramSerde.writeV0(h, new DataOutputStream(bos))
+      assert(hex(bos.toByteArray) == expectedHex, s"seed=${seed.toHexString}")
+    }
+  }
+
   /**
    * Byte-exact golden vectors: the reference's V1 serialization test
    * (dynahist `serialization/HistogramSerializationVersion1Test.java:29-102`)
