@@ -126,11 +126,11 @@ object functions {
 
   def hist_merge2(a: Column, b: Column): Column = histMerge2Udf(a, b)
 
-  /** Bin index of a value under a layout (for oracle cross-checks). */
-  def hist_bin_index(value: Column, layout: Layout): Column = {
-    val f = udf((v: Double) => layout.mapToBinIndex(v))
-    f(value)
-  }
+  /** Bin index of a value under a layout — a native Catalyst expression
+   * (whole-stage codegen, no boxing); see
+   * [[graft.spark.expressions.HistBinIndex]]. */
+  def hist_bin_index(value: Column, layout: Layout): Column =
+    graft.spark.expressions.HistBinIndex(value, layout)
 
   val hllEstimateUdf: UserDefinedFunction =
     udf((b: Array[Byte]) => Hll.fromBytes(b).estimate)
