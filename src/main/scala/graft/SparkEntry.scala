@@ -466,6 +466,38 @@ object SparkEntry {
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
     },
+    // 21. transcript-table derivation (the north-rule input shape): per-role
+    //     turn counts and exact text-length extremes tracked by the sketch,
+    //     all re-derived in SQL from the same events reshaping
+    "q21_transcript_stats" -> { (s, dir) =>
+      val transcripts = graft.spark.Transcripts.fromEvents(table(s, dir, "events"))
+      transcripts
+        .groupBy(col("role"))
+        .agg(hist_sketch(length(col("text")).cast("double"), latencyLayout).as("sk"))
+        .select(
+          col("role"),
+          hist_total(col("sk")).as("n_turns"),
+          hist_min(col("sk")).as("mn_len"),
+          hist_max(col("sk")).as("mx_len"))
+    },
+    // 22. per-turn latency distribution over the derived transcript: exact
+    //     custom-layout bin counts of microsecond deltas, window-derived in
+    //     both engines
+    "q22_latency_bins" -> { (s, dir) =>
+      val latencyBoundaries =
+        Array(0.0, 1e6, 5e6, 1e7, 5e7, 1e8, 5e8, 1e9, 5e9) // microseconds
+      val layout = CustomLayout(latencyBoundaries)
+      val transcripts = graft.spark.Transcripts.fromEvents(table(s, dir, "events"))
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      transcripts
+        .select(
+          (unix_micros(col("ts").cast("timestamp")) -
+            lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)).as("lat_us"))
+        .filter(col("lat_us").isNotNull)
+        .agg(hist_sketch(col("lat_us").cast("double"), layout).as("sk"))
+        .select(explode(hist_bins(col("sk"))).as("b"))
+        .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -569,6 +601,20 @@ object SparkEntry {
     "q19_multimodal" ->
       """SELECT count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes,
                 16 AS emb_dim, true AS decode_ok FROM documents""",
+    "q21_transcript_stats" ->
+      """SELECT event_type AS role, count(*) AS n_turns,
+                CAST(min(length(props)) AS DOUBLE) AS mn_len,
+                CAST(max(length(props)) AS DOUBLE) AS mx_len
+         FROM events GROUP BY 1""",
+    "q22_latency_bins" -> {
+      val bs = Seq(0.0, 1e6, 5e6, 1e7, 5e7, 1e8, 5e8, 1e9, 5e9)
+      s"""WITH lat AS (
+            SELECT epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lat_us
+            FROM events)
+          SELECT ${customBinCaseSql("lat_us", bs)} AS bin_index, count(*) AS cnt
+          FROM lat WHERE lat_us IS NOT NULL GROUP BY 1"""
+    },
     "q20_otel_bins" -> {
       val layout = OtelExponentialLayout(4)
       val loIdx = layout.mapToBinIndex(1.0)

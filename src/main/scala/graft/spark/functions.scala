@@ -27,6 +27,12 @@ object functions {
   def hist_sketch(c: Column, layout: Layout): Column =
     udaf(new Aggs.HistogramAgg(layout), Encoders.DOUBLE).apply(c)
 
+  /** Same aggregation with a native TypedImperativeAggregate whose shuffle
+   * buffer is the compact V1 wire format instead of a kryo object graph —
+   * prefer for very high group cardinality. */
+  def hist_sketch_binary(c: Column, layout: Layout): Column =
+    graft.spark.expressions.HistogramSketchAgg(c, layout)
+
   /** Count-weighted histogram sketch over (value, weight). */
   def hist_sketch_weighted(value: Column, weight: Column, layout: Layout): Column =
     udaf(

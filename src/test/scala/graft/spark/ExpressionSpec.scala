@@ -72,6 +72,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(viaExpr == viaSketch)
   }
 
+  test("hist_sketch_binary (TypedImperativeAggregate) equals the Aggregator-based sketch") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(12L)
+    val rows = (0 until 30000).map(i => (s"g${i % 5}", rnd.nextDouble() * 1e5))
+    val df = rows.toDF("g", "v").repartition(8)
+    val a = df
+      .groupBy(col("g"))
+      .agg(hist_sketch(col("v"), layout).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+      .toMap
+    val b = df
+      .groupBy(col("g"))
+      .agg(hist_sketch_binary(col("v"), layout).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+      .toMap
+    assert(a == b)
+    // the binary-buffer variant must shuffle compact V1 payloads: its
+    // serialized buffer is dramatically smaller than the kryo object graph
+    val h = graft.core.Histogram(layout)
+    rows.foreach(r => h.addValue(r._2))
+    val v1 = graft.core.HistogramSerde.toBytes(h).length
+    assert(v1 < 8 * h.nonEmptyBins.size, s"V1 size $v1 not compact")
+  }
+
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {
     import spark.implicits._
     // 20k groups >> spark.sql.objectHashAggregate.sortBased.fallbackThreshold
