@@ -22,19 +22,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $sec%.2f s")
-      name -> sec
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-
-    // engine throughput probe: grouped sketch updates over synthesized
-    // turn-length features (no I/O), 2x10^8 rows, best of 2
+    // engine throughput probe FIRST (clean heap; the query sweep below
+    // leaves GC debt that contaminates it): grouped sketch updates over
+    // synthesized turn-length features (no I/O), 2x10^8 rows, best of 2
     val layout = graft.core.LogQuadraticLayout(1e-2, 1e-2, 0, 1e9)
     val n = 200000000L
     def engine(): Unit =
@@ -56,6 +46,17 @@ object Bench {
       engineBest = math.min(engineBest, (System.nanoTime() - t0) / 1e9)
     }
     val turnsPerSec = n / engineBest
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $sec%.2f s")
+      name -> sec
+    }.toMap
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
 
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

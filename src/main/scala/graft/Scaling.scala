@@ -65,8 +65,9 @@ object Scaling {
         case "engine" =>
           val n = arg.toLong
           engineJob(spark, cpus, n) // warm-up
+          // min-of-5: host-level noise bursts make single runs swing +-30%
           var best = Double.MaxValue
-          for (_ <- 0 until 3) {
+          for (_ <- 0 until 5) {
             val t0 = System.nanoTime()
             engineJob(spark, cpus, n)
             best = math.min(best, (System.nanoTime() - t0) / 1e9)

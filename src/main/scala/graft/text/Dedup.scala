@@ -159,6 +159,23 @@ object Dedup {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: sign-LSH candidate generation
+   * (linear, shuffles only ids + 32-bit signatures) followed by exact cosine
+   * verification at `threshold`. High-cosine pairs collide in many tables,
+   * so recall concentrates exactly where near-duplicates live.
+   */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 8,
+      tables: Int = 12): DataFrame =
+    Similarity
+      .signLshCandidatePairs(df, idCol, vecCol, planes, tables)
+      .filter(col("cosine") >= threshold)
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs within small groups
    * (e.g. same source) — quadratic within group, linear across groups.
    */

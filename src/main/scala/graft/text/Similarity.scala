@@ -138,6 +138,46 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * Exact all-pairs with cosine >= threshold via the broadcast corpus
+   * (emitted once, id_a < id_b). Quadratic — the ground-truth baseline for
+   * the LSH near-duplicate path.
+   */
+  def cosinePairsAbove(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corpusData: Array[(Long, Array[Double], Double)] = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val bc = spark.sparkContext.broadcast(corpusData)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpusArr = bc.value
+        it.flatMap { case (qid, qvF) =>
+          val qv = qvF.map(_.toDouble)
+          val qn = math.sqrt(qv.map(x => x * x).sum)
+          corpusArr.iterator.filter(_._1 > qid).flatMap { case (nid, nv, nn) =>
+            var dot = 0.0
+            var d = 0
+            val len = math.min(qv.length, nv.length)
+            while (d < len) { dot += qv(d) * nv(d); d += 1 }
+            val cos = dot / (qn * nn)
+            if (cos >= threshold) Some((qid, nid, cos)) else None
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   /** Deterministic gaussian hyperplanes: planes(table)(plane)(dim). */
   private def hyperplanes(tables: Int, planes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     def splitmix(state: Long): Long = {
@@ -157,20 +197,40 @@ object Similarity {
   }
 
   /**
-   * Approximate top-k cosine neighbors via sign-LSH bucketing; recall grows
-   * with `tables`. Returns (query_id, neighbor_id, cosine, rank).
+   * Sign-LSH candidate pairs (undirected, id_a < id_b) scored with exact
+   * cosine — the linear-cost candidate generator behind embedding
+   * near-duplicate detection. Only ids + 32-bit signatures shuffle.
    */
-  def lshCosineTopK(
+  def signLshCandidatePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      planes: Int = 12,
-      tables: Int = 6,
+      planes: Int = 8,
+      tables: Int = 12,
       seed: Long = 7L): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(tables, planes, dim, seed)
-    val sigUdf = udf((vec: Seq[Float]) => {
+    val sigUdf = signatureUdf(hp)
+    val sigs =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), sigUdf(col(vecCol)).as("sigs"))
+    val buckets = sigs.select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
+    val cands = buckets
+      .as("a")
+      .join(
+        buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = sigs.select(col("id"), col("v"))
+    cands
+      .join(vecs.as("qa"), col("id_a") === col("qa.id"))
+      .join(vecs.as("qb"), col("id_b") === col("qb.id"))
+      .select(col("id_a"), col("id_b"), fastCosineUdf(col("qa.v"), col("qb.v")).as("cosine"))
+  }
+
+  private def signatureUdf(hp: Array[Array[Array[Double]]]) =
+    udf((vec: Seq[Float]) => {
       val out = new Array[Int](hp.length)
       var t = 0
       while (t < hp.length) {
@@ -192,6 +252,22 @@ object Similarity {
       }
       out
     })
+
+  /**
+   * Approximate top-k cosine neighbors via sign-LSH bucketing; recall grows
+   * with `tables`. Returns (query_id, neighbor_id, cosine, rank).
+   */
+  def lshCosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 12,
+      tables: Int = 6,
+      seed: Long = 7L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val hp = hyperplanes(tables, planes, dim, seed)
+    val sigUdf = signatureUdf(hp)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigUdf(col(vecCol)).as("sigs"))
     val buckets = sigs.select(
       col("id"),

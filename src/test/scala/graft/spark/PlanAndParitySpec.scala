@@ -101,6 +101,13 @@ class PlanAndParitySpec extends AnyFunSuite {
     assert(keys.forall(theirs.mightContainLong(_)), "spark bloom has a false negative")
   }
 
+  test("driver smoke: SparkEntry.entry returns rows at sf0.001") {
+    val df = graft.SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    assert(rows.forall(_.getLong(1) > 0)) // n_turns per role
+  }
+
   test("GraftExtensions installs the SQL surface via withExtensions") {
     val prior = spark // ensure shared context exists
     SparkSession.clearActiveSession()

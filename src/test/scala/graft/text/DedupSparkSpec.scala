@@ -120,6 +120,25 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("embedding near-duplicate pairs: LSH recall >=90% vs exact pairs") {
+    val exact = Similarity
+      .cosinePairsAbove(vecsDf, "vec_id", "embedding", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty, "clustered vectors must contain cosine>=0.9 pairs")
+    val found = Dedup
+      .embeddingNearDuplicates(vecsDf, "vec_id", "embedding", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(found.subsetOf(exact), "verified pairs must be exact-cosine filtered")
+    val recall = exact.intersect(found).size.toDouble / exact.size
+    assert(recall >= 0.9, s"near-dup recall $recall over ${exact.size} true pairs")
+  }
+
   test("LSH ANN achieves >=80% top-1 recall vs brute force") {
     val exact = Similarity
       .cosineTopKBroadcast(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
