@@ -149,6 +149,25 @@ class AggregatorSpec extends AnyFunSuite {
     assert(wrow.getLong(0) == 500L)
   }
 
+  test("sketch aggregators compose with rollup/cube grouping sets") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(6L)
+    val rows = (0 until 9000).map(i => (s"a${i % 2}", s"b${i % 3}", rnd.nextDouble() * 100))
+    val df = rows.toDF("x", "y", "v")
+    val out = df
+      .rollup($"x", $"y")
+      .agg(hist_sketch($"v", layout).as("sk"))
+      .select($"x", $"y", hist_total($"sk").as("n"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2))
+      .toMap
+    // grand total, per-x subtotals, and (x, y) cells all present and exact
+    assert(out((None, None)) == 9000L)
+    assert(out((Some("a0"), None)) == 4500L)
+    assert(out((Some("a1"), Some("b2"))) == rows.count(r => r._1 == "a1" && r._2 == "b2"))
+    assert(out.size == 1 + 2 + 6)
+  }
+
   test("SQL registration surfaces sketch functions to spark.sql") {
     registerAll(spark)
     spark.range(1000).createOrReplaceTempView("t")
