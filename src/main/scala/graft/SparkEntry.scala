@@ -318,12 +318,10 @@ object SparkEntry {
         .flatMap(ids => ids.sorted.combinations(2).map(p => (p(0), p(1))))
         .toSet
       val dupsFound = dupPairs.forall(found.contains)
-      // near-dup recall gauged on a deterministic sample (brute-force truth
-      // is quadratic — exactly why the LSH path exists)
-      val sample = docs.filter(col("doc_id") < 600)
+      // near-dup recall gauged against broadcast brute-force truth
+      // (quadratic — exactly why the LSH path exists at scale)
       val truth = graft.text.Dedup
-        .groupedJaccardPairs(sample.withColumn("g", lit(1)), "doc_id", "text", "g")
-        .filter(col("jaccard") >= 0.8)
+        .jaccardPairsAboveBroadcast(docs, "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))

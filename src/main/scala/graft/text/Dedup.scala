@@ -80,9 +80,13 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashUdf(col(textCol), lit(numHashes), lit(shingleK)).as("sig"))
+    // materialize signatures once: the banded frame feeds both sides of the
+    // candidate self-join, which would otherwise recompute the UDF per side
+    val sigs = df
+      .select(
+        col(idCol).as("id"),
+        minhashUdf(col(textCol), lit(numHashes), lit(shingleK)).as("sig"))
+      .localCheckpoint()
     val banded = sigs
       .select(
         col("id"),
@@ -111,10 +115,11 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
-    // shingle sets computed once per document, pairs verified by array merge
-    val docs = df.select(
-      col(idCol).as("id"),
-      shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
+    // shingle sets computed once per document (materialized: joined twice),
+    // pairs verified by sorted-array merge
+    val docs = df
+      .select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
+      .localCheckpoint()
     cands
       .join(docs.as("da"), col("id_a") === col("da.id"))
       .join(docs.as("db"), col("id_b") === col("db.id"))
@@ -176,6 +181,59 @@ object Dedup {
       .filter(col("cosine") >= threshold)
 
   /**
+   * Exact all-pairs shingle Jaccard >= threshold via a broadcast shingle
+   * table: each partition scores its documents against the in-memory corpus
+   * with sorted-array merges — parallel across partitions, no join skew
+   * (a single-group self-join lands every pair on one reducer). Quadratic;
+   * the ground-truth baseline for the LSH path on corpora that fit in
+   * executor memory.
+   */
+  def jaccardPairsAboveBroadcast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corpus: Array[(Long, Array[Long])] = df
+      .select(col(idCol).cast("long"), col(textCol))
+      .collect()
+      .map { r =>
+        val h = TextFunctions.shingleHashes(r.getString(1), shingleK)
+        java.util.Arrays.sort(h)
+        (r.getLong(0), h)
+      }
+    val bc = spark.sparkContext.broadcast(corpus)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val corpusArr = bc.value
+        it.flatMap { case (qid, text) =>
+          val qh = TextFunctions.shingleHashes(text, shingleK)
+          java.util.Arrays.sort(qh)
+          corpusArr.iterator.filter(_._1 > qid).flatMap { case (nid, nh) =>
+            var i = 0
+            var j = 0
+            var inter = 0
+            while (i < qh.length && j < nh.length) {
+              if (qh(i) == nh(j)) { inter += 1; i += 1; j += 1 }
+              else if (qh(i) < nh(j)) i += 1
+              else j += 1
+            }
+            val union = qh.length + nh.length - inter
+            val jac =
+              if (qh.isEmpty && nh.isEmpty) 1.0
+              else if (union == 0) 0.0
+              else inter.toDouble / union
+            if (jac >= threshold) Some((qid, nid, jac)) else None
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs within small groups
    * (e.g. same source) — quadratic within group, linear across groups.
    */
@@ -185,10 +243,12 @@ object Dedup {
       textCol: String,
       groupCol: String,
       shingleK: Int = 3): DataFrame = {
-    val docs = df.select(
-      col(groupCol).as("g"),
-      col(idCol).as("id"),
-      shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
+    val docs = df
+      .select(
+        col(groupCol).as("g"),
+        col(idCol).as("id"),
+        shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
+      .localCheckpoint()
     docs
       .as("a")
       .join(docs.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
