@@ -52,6 +52,10 @@ object SparkEntry {
   private val qtyLayout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e3)
   private val priceLogLayout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
   private val latencyLayout = LogQuadraticLayout(1.0, 1e-2, 0, 1e10)
+  private val narrowQtyLayout = CustomLayout(10.0, 40.0)
+  // coarse boundaries are a subset of priceBoundaries, so re-binning the fine
+  // sketch is EXACT (every fine bin maps wholly into one coarse bin)
+  private val coarsePriceBoundaries = Seq(0.0, 4000.0, 16000.0, 64000.0)
 
   /**
    * Exact SciPy-mquantiles (alphap=betap=0.4) per-group quantiles via window
@@ -121,16 +125,22 @@ object SparkEntry {
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
     },
-    // 2. exact scalars tracked by the sketch, per group
+    // 2. exact scalars tracked by the sketch, per group; a second sketch
+    //    under a deliberately narrow layout exercises the exact
+    //    underflow/overflow counters (values < 10 underflow, >= 40 overflow)
     "q02_hist_stats" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(hist_sketch(col("l_quantity"), qtyLayout).as("sk"))
+        .agg(
+          hist_sketch(col("l_quantity"), qtyLayout).as("sk"),
+          hist_sketch(col("l_quantity"), narrowQtyLayout).as("sk2"))
         .select(
           col("l_returnflag"),
           hist_total(col("sk")).as("n"),
           hist_min(col("sk")).as("mn"),
-          hist_max(col("sk")).as("mx"))
+          hist_max(col("sk")).as("mx"),
+          hist_underflow(col("sk2")).as("n_under"),
+          hist_overflow(col("sk2")).as("n_over"))
     },
     // 3. histogram quantile error vs exact SciPy order statistics
     "q03_hist_quantile_bound" -> { (s, dir) =>
@@ -318,10 +328,12 @@ object SparkEntry {
         .flatMap(ids => ids.sorted.combinations(2).map(p => (p(0), p(1))))
         .toSet
       val dupsFound = dupPairs.forall(found.contains)
-      // near-dup recall gauged against broadcast brute-force truth
-      // (quadratic — exactly why the LSH path exists at scale)
+      // near-dup recall gauged against brute-force truth over a
+      // locality-sensitive doc sample (full corpus when small): the
+      // quadratic cost is capped at ~maxDocs^2 while near-dup pairs survive
+      // the sampling together (see Dedup.jaccardPairsAboveSampled)
       val truth = graft.text.Dedup
-        .jaccardPairsAboveBroadcast(docs, "doc_id", "text", threshold = 0.8)
+        .jaccardPairsAboveSampled(docs, "doc_id", "text", threshold = 0.8, maxDocs = 1500L)
         .select(col("id_a"), col("id_b"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -496,6 +508,50 @@ object SparkEntry {
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
     },
+    // 23. cross-layout merge (re-binning): a fine CustomLayout sketch is
+    //     re-binned into a coarse layout whose boundaries are a subset of the
+    //     fine ones — exact by construction, so the oracle recounts the raw
+    //     data against the coarse boundaries directly
+    "q23_hist_rebin" -> { (s, dir) =>
+      val coarse = CustomLayout(coarsePriceBoundaries.toArray)
+      table(s, dir, "lineitem")
+        .agg(hist_sketch(col("l_extendedprice"), priceLayout).as("sk"))
+        .select(hist_rebin(col("sk"), coarse).as("sk2"))
+        .select(explode(hist_bins(col("sk2"))).as("b"))
+        .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
+    },
+    // 24. rank-value estimation: hist_value_at_rank vs exact order statistics
+    //     (reference semantics ValueEstimatorImpls.java:112-134 — the
+    //     estimate lies in the bin containing the rank, so the error is
+    //     bounded by the layout's bin-width limits; ranks 0 and n-1 are exact)
+    "q24_hist_value_at_rank" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val n = li.count()
+      val ranks = Seq(0L, n / 4, n / 2, (3 * n) / 4, n - 1)
+      val estRow = li
+        .agg(hist_sketch(col("v"), priceLogLayout).as("sk"))
+        .select(ranks.zipWithIndex.map { case (r, i) =>
+          hist_value_at_rank(col("sk"), lit(r)).as(s"e$i")
+        }: _*)
+        .collect()(0)
+      val exactByRank = li
+        .withColumn("rn", row_number().over(Window.orderBy(col("v"))).cast("long") - 1L)
+        .filter(col("rn").isin(ranks: _*))
+        .select(col("rn"), col("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
+      val rows = ranks.zipWithIndex.map { case (r, i) =>
+        val est = estRow.getDouble(i)
+        val exact = exactByRank(r)
+        val ok =
+          if (r == 0L || r == n - 1) est == exact // min/max are tracked exactly
+          else math.abs(est - exact) <= math.max(1e-3, 1e-2 * math.abs(exact)) * (1 + 1e-9)
+        (r, n, ok)
+      }
+      import s.implicits._
+      rows.toDF("rank", "n", "ok").orderBy(col("rank"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -523,7 +579,10 @@ object SparkEntry {
           count(*) AS cnt FROM lineitem GROUP BY 1""",
     "q02_hist_stats" ->
       """SELECT l_returnflag, count(l_quantity) AS n, min(l_quantity) AS mn,
-          max(l_quantity) AS mx FROM lineitem GROUP BY 1""",
+          max(l_quantity) AS mx,
+          count(*) FILTER (WHERE l_quantity < 10.0) AS n_under,
+          count(*) FILTER (WHERE l_quantity >= 40.0) AS n_over
+          FROM lineitem GROUP BY 1""",
     "q03_hist_quantile_bound" ->
       """SELECT l_returnflag, CAST(p AS DOUBLE) AS p, true AS ok
          FROM (SELECT DISTINCT l_returnflag FROM lineitem)
@@ -575,8 +634,8 @@ object SparkEntry {
                 count(DISTINCT c) AS n_unique,
                 (SELECT count(*) FROM (SELECT c FROM canon GROUP BY c HAVING count(*) > 1))
                   AS n_dup_groups,
-                (SELECT sum(m) FROM (SELECT min(doc_id) AS m FROM canon GROUP BY c))
-                  AS sum_rep_id
+                CAST((SELECT sum(m) FROM (SELECT min(doc_id) AS m FROM canon GROUP BY c))
+                  AS BIGINT) AS sum_rep_id
          FROM canon""",
     "q13_minhash_lsh" -> "SELECT true AS recall_ok, true AS precision_ok",
     "q14_simhash" ->
@@ -597,7 +656,8 @@ object SparkEntry {
       """SELECT count(*) AS rows_consumed, true AS resume_ok, true AS result_equal,
                 true AS lineage_ok FROM lineitem""",
     "q19_multimodal" ->
-      """SELECT count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes,
+      """SELECT count(*) AS n_items,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 16 AS emb_dim, true AS decode_ok FROM documents""",
     "q21_transcript_stats" ->
       """SELECT event_type AS role, count(*) AS n_turns,
@@ -620,6 +680,18 @@ object SparkEntry {
       s"""SELECT ${layoutBinCaseSql("l_quantity", layout, loIdx, hiIdx)} AS bin_index,
           count(*) AS cnt FROM lineitem GROUP BY 1"""
     },
+    "q23_hist_rebin" ->
+      s"""SELECT ${customBinCaseSql("l_extendedprice", coarsePriceBoundaries)} AS bin_index,
+          count(*) AS cnt FROM lineitem GROUP BY 1""",
+    "q24_hist_value_at_rank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM lineitem)
+         SELECT CAST(r AS BIGINT) AS rank, n, true AS ok FROM (
+           SELECT 0 AS r, n FROM nn
+           UNION ALL SELECT n // 4, n FROM nn
+           UNION ALL SELECT n // 2, n FROM nn
+           UNION ALL SELECT (3 * n) // 4, n FROM nn
+           UNION ALL SELECT n - 1, n FROM nn)
+         ORDER BY rank""",
     "q17_langid_fp" ->
       """SELECT count(*) AS n_docs,
                 count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))

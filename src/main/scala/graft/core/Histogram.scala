@@ -17,10 +17,20 @@ package graft.core
  * raises ArithmeticException, -0.0 ordered below 0.0 for min/max, window grown
  * geometrically by >= 25%.
  */
-final class Histogram private (val layout: Layout) extends Serializable {
+final class Histogram private (val layout: Layout, packedCounters: Boolean)
+    extends Serializable {
 
+  // Regular-bin counter storage: a dense window of `windowLen` counters
+  // starting at bin index `windowStart`. With `packedCounters` the counters
+  // are bit-packed at 2^mode bits each and the width class upgrades on
+  // demand, mode 0..6 (reference semantics dynahist `DynamicHistogram.java:
+  // 30-75, 152-221`) — up to 64x smaller resident buffers at low per-bin
+  // counts. Without it the mode is pinned to 6 (plain 64-bit counters, the
+  // reference's StaticHistogram-style buffer — fastest recording).
   private var counts: Array[Long] = Histogram.EmptyCounts
-  private var windowStart: Int = 0 // bin index of counts(0); meaningful iff counts.nonEmpty
+  private var windowStart: Int = 0 // bin index of counter 0; meaningful iff windowLen > 0
+  private var windowLen: Int = 0
+  private var mode: Int = if (packedCounters) 0 else 6
 
   private var underflowCountVar: Long = 0L
   private var overflowCountVar: Long = 0L
@@ -68,31 +78,87 @@ final class Histogram private (val layout: Layout) extends Serializable {
     this
   }
 
+  // ---------------------------------------------------------------------
+  // packed counter storage primitives (mode 6 = plain long[], no packing)
+  // ---------------------------------------------------------------------
+
+  @inline private def wordsFor(len: Int, m: Int): Int =
+    if (m == 6) len else (((len.toLong << m) + 63L) >>> 6).toInt
+
+  /** Counter at window position `pos` (0 <= pos < windowLen). Counter widths
+   * are powers of two <= 64 bits, so a counter never straddles words. */
+  @inline private def counterAt(pos: Int): Long = {
+    if (mode == 6) counts(pos)
+    else {
+      val bitPos = pos.toLong << mode
+      (counts((bitPos >>> 6).toInt) >>> (bitPos & 63L).toInt) & Histogram.ModeMask(mode)
+    }
+  }
+
+  @inline private def setCounterAt(pos: Int, v: Long): Unit = {
+    if (mode == 6) counts(pos) = v
+    else {
+      val bitPos = pos.toLong << mode
+      val w = (bitPos >>> 6).toInt
+      val s = (bitPos & 63L).toInt
+      val mask = Histogram.ModeMask(mode)
+      counts(w) = (counts(w) & ~(mask << s)) | ((v & mask) << s)
+    }
+  }
+
+  /** Adds `delta` to the counter at `pos`, upgrading the counter bit-width
+   * class when the new value no longer fits (reference
+   * `DynamicHistogram.java:152-221`). */
+  private def addToCounterAt(pos: Int, delta: Long): Unit = {
+    val updated = counterAt(pos) + delta
+    if (updated < 0) throw new ArithmeticException("counter overflow")
+    if (mode < 6 && updated > Histogram.ModeMask(mode)) {
+      upgradeMode(Histogram.modeFor(updated))
+    }
+    setCounterAt(pos, updated)
+  }
+
+  private def upgradeMode(newMode: Int): Unit = {
+    val fresh = new Array[Long](wordsFor(windowLen, newMode))
+    var i = 0
+    while (i < windowLen) {
+      val v = counterAt(i)
+      if (v != 0L) {
+        if (newMode == 6) fresh(i) = v
+        else {
+          val bitPos = i.toLong << newMode
+          fresh((bitPos >>> 6).toInt) |= (v << (bitPos & 63L).toInt)
+        }
+      }
+      i += 1
+    }
+    counts = fresh
+    mode = newMode
+  }
+
   private def incrementRegular(idx: Int, count: Long): this.type = {
-    if (counts.length == 0) {
-      counts = new Array[Long](1)
+    if (windowLen == 0) {
+      windowLen = 1
+      counts = new Array[Long](wordsFor(1, mode))
       windowStart = idx
-    } else if (idx < windowStart || idx >= windowStart + counts.length) {
+    } else if (idx < windowStart || idx >= windowStart + windowLen) {
       growWindow(idx)
     }
-    val pos = idx - windowStart
-    val updated = counts(pos) + count
-    if (updated < 0) throw new ArithmeticException("counter overflow")
-    counts(pos) = updated
+    addToCounterAt(idx - windowStart, count)
     this
   }
 
   private def growWindow(idx: Int): Unit = {
     val curStart = windowStart
-    val curEnd = windowStart + counts.length // exclusive
+    val curEnd = windowStart + windowLen // exclusive
     var newStart = math.min(curStart, idx)
     var newEnd = math.max(curEnd, idx + 1)
     // grow by at least 25% to amortize repeated extension
     val needed = newEnd - newStart
-    val desired = math.max(needed, counts.length + (counts.length >> 2) + 1)
+    val desired = math.max(needed, windowLen + (windowLen >> 2) + 1)
     val loRoom = curStart - layout.underflowBinIndex - 1
     val hiRoom = layout.overflowBinIndex - curEnd
-    var extra = desired - needed
+    val extra = desired - needed
     if (extra > 0) {
       if (idx < curStart) {
         val take = math.min(extra.toLong, loRoom - (curStart - newStart)).toInt
@@ -102,10 +168,24 @@ final class Histogram private (val layout: Layout) extends Serializable {
         if (take > 0) newEnd += take
       }
     }
-    val fresh = new Array[Long](newEnd - newStart)
-    System.arraycopy(counts, 0, fresh, curStart - newStart, counts.length)
+    val newLen = newEnd - newStart
+    val fresh = new Array[Long](wordsFor(newLen, mode))
+    val off = curStart - newStart
+    if (mode == 6) System.arraycopy(counts, 0, fresh, off, windowLen)
+    else {
+      var i = 0
+      while (i < windowLen) {
+        val v = counterAt(i)
+        if (v != 0L) {
+          val bitPos = (i + off).toLong << mode
+          fresh((bitPos >>> 6).toInt) |= (v << (bitPos & 63L).toInt)
+        }
+        i += 1
+      }
+    }
     counts = fresh
     windowStart = newStart
+    windowLen = newLen
   }
 
   /** Counter of the given bin index (under/overflow totals at their indices). */
@@ -119,7 +199,7 @@ final class Histogram private (val layout: Layout) extends Serializable {
 
   private def regularCountAt(binIndex: Int): Long = {
     val pos = binIndex - windowStart
-    if (pos >= 0 && pos < counts.length) counts(pos) else 0L
+    if (pos >= 0 && pos < windowLen) counterAt(pos) else 0L
   }
 
   /**
@@ -138,23 +218,18 @@ final class Histogram private (val layout: Layout) extends Serializable {
       overflowCountVar += other.overflowCountVar
       updateMin(other.minVar)
       updateMax(other.maxVar)
-      if (other.counts.length > 0) {
+      if (other.windowLen > 0) {
         // locate other's non-empty span to avoid over-allocating
         var lo = 0
-        while (lo < other.counts.length && other.counts(lo) == 0L) lo += 1
-        var hi = other.counts.length - 1
-        while (hi >= lo && other.counts(hi) == 0L) hi -= 1
+        while (lo < other.windowLen && other.counterAt(lo) == 0L) lo += 1
+        var hi = other.windowLen - 1
+        while (hi >= lo && other.counterAt(hi) == 0L) hi -= 1
         if (lo <= hi) {
           ensureWindow(other.windowStart + lo, other.windowStart + hi)
           var i = lo
           while (i <= hi) {
-            val c = other.counts(i)
-            if (c != 0L) {
-              val pos = other.windowStart + i - windowStart
-              val updated = counts(pos) + c
-              if (updated < 0) throw new ArithmeticException("counter overflow")
-              counts(pos) = updated
-            }
+            val c = other.counterAt(i)
+            if (c != 0L) addToCounterAt(other.windowStart + i - windowStart, c)
             i += 1
           }
         }
@@ -167,12 +242,13 @@ final class Histogram private (val layout: Layout) extends Serializable {
   }
 
   private def ensureWindow(fromIdx: Int, toIdx: Int): Unit = {
-    if (counts.length == 0) {
-      counts = new Array[Long](toIdx - fromIdx + 1)
+    if (windowLen == 0) {
+      windowLen = toIdx - fromIdx + 1
+      counts = new Array[Long](wordsFor(windowLen, mode))
       windowStart = fromIdx
     } else {
       if (fromIdx < windowStart) growWindow(fromIdx)
-      if (toIdx >= windowStart + counts.length) growWindow(toIdx)
+      if (toIdx >= windowStart + windowLen) growWindow(toIdx)
     }
   }
 
@@ -214,7 +290,7 @@ final class Histogram private (val layout: Layout) extends Serializable {
   // -------------------------------------------------------------------------
 
   private def minAllocated: Int = windowStart
-  private def maxAllocatedExclusive: Int = windowStart + counts.length
+  private def maxAllocatedExclusive: Int = windowStart + windowLen
 
   /** Cursor over non-empty bins in ascending order, with running less/greater
    * counts and [min,max]-clamped bounds. */
@@ -297,10 +373,10 @@ final class Histogram private (val layout: Layout) extends Serializable {
         underflowCountVar)
     } else {
       var idx = minAllocated
-      if (counts.length == 0 || {
+      if (windowLen == 0 || {
             var i = 0
             var allZero = true
-            while (i < counts.length && allZero) { allZero = counts(i) == 0L; i += 1 }
+            while (i < windowLen && allZero) { allZero = counterAt(i) == 0L; i += 1 }
             allZero
           }) {
         // only overflow is populated
@@ -323,10 +399,10 @@ final class Histogram private (val layout: Layout) extends Serializable {
         overflowCountVar)
     } else {
       var idx = maxAllocatedExclusive - 1
-      if (counts.length == 0 || {
+      if (windowLen == 0 || {
             var i = 0
             var allZero = true
-            while (i < counts.length && allZero) { allZero = counts(i) == 0L; i += 1 }
+            while (i < windowLen && allZero) { allZero = counterAt(i) == 0L; i += 1 }
             allZero
           }) {
         new BinCursor(layout.underflowBinIndex, 0L, 0L, underflowCountVar)
@@ -403,10 +479,10 @@ final class Histogram private (val layout: Layout) extends Serializable {
       else {
         // compare non-empty regular bins (windows are bounded by actual use,
         // so iterate both allocated windows rather than the full index range)
-        (0 until counts.length).forall(i =>
-          counts(i) == h.regularCountAt(windowStart + i)) &&
-        (0 until h.counts.length).forall(i =>
-          h.counts(i) == regularCountAt(h.windowStart + i))
+        (0 until windowLen).forall(i =>
+          counterAt(i) == h.regularCountAt(windowStart + i)) &&
+        (0 until h.windowLen).forall(i =>
+          h.counterAt(i) == regularCountAt(h.windowStart + i))
       }
     case _ => false
   }
@@ -423,13 +499,19 @@ final class Histogram private (val layout: Layout) extends Serializable {
     s"Histogram(layout=$layout, total=$totalCountVar, min=$minVar, max=$maxVar, " +
       s"underflow=$underflowCountVar, overflow=$overflowCountVar)"
 
-  /** Rough in-memory footprint: counter window + fixed fields. */
+  /** Rough in-memory footprint: counter window (packed or plain words) +
+   * fixed fields. */
   def estimatedFootprintBytes: Long =
     16L + counts.length.toLong * 8L + 4L + 3L * 8L + 2L * 8L
 
+  /** Current counter bit-width class: 2^mode bits per regular counter
+   * (always 6 for the plain-long buffer). */
+  def counterMode: Int = mode
+
   // internal accessors for serde and preprocessing
   private[core] def regularWindowStart: Int = windowStart
-  private[core] def regularWindow: Array[Long] = counts
+  private[core] def regularWindow: Array[Long] =
+    if (mode == 6) counts else Array.tabulate(windowLen)(counterAt)
   private[graft] def setStateForDeserialization(
       newCounts: Array[Long],
       newWindowStart: Int,
@@ -438,7 +520,26 @@ final class Histogram private (val layout: Layout) extends Serializable {
       total: Long,
       newMin: Double,
       newMax: Double): Unit = {
-    counts = newCounts
+    if (packedCounters) {
+      var mask = 0L
+      newCounts.foreach(c => mask |= c)
+      mode = Histogram.modeFor(mask)
+      windowLen = newCounts.length
+      if (mode == 6) counts = newCounts
+      else {
+        counts = new Array[Long](wordsFor(windowLen, mode))
+        var i = 0
+        while (i < windowLen) {
+          val v = newCounts(i)
+          if (v != 0L) setCounterAt(i, v)
+          i += 1
+        }
+      }
+    } else {
+      counts = newCounts
+      windowLen = newCounts.length
+      mode = 6
+    }
     windowStart = newWindowStart
     underflowCountVar = underflow
     overflowCountVar = overflow
@@ -451,7 +552,31 @@ final class Histogram private (val layout: Layout) extends Serializable {
 object Histogram {
   private val EmptyCounts = new Array[Long](0)
 
-  def apply(layout: Layout): Histogram = new Histogram(layout)
+  /** Largest counter value representable at each mode (2^(2^m) - 1). */
+  private[core] val ModeMask: Array[Long] =
+    Array(1L, 3L, 0xfL, 0xffL, 0xffffL, 0xffffffffL, -1L)
+
+  /** Smallest mode whose counter width fits `v` (also valid on a bit-OR mask
+   * of counters — the reference's requiredMode, `AbstractHistogram.java`). */
+  private[core] def modeFor(v: Long): Int =
+    if (v >= 0 && v <= 1L) 0
+    else if (v <= 3L && v >= 0) 1
+    else if (v <= 0xfL && v >= 0) 2
+    else if (v <= 0xffL && v >= 0) 3
+    else if (v <= 0xffffL && v >= 0) 4
+    else if (v <= 0xffffffffL && v >= 0) 5
+    else 6
+
+  /** Plain 64-bit counter window — fastest recording (StaticHistogram-class
+   * buffer, dynahist `StaticHistogram.java:26-66`). */
+  def apply(layout: Layout): Histogram = new Histogram(layout, packedCounters = false)
+
+  /** Adaptive bit-width counter buffer: 2^mode bits per counter, mode grows
+   * 0..6 on demand (dynahist `DynamicHistogram.java:30-75, 152-221`) — up to
+   * 64x smaller resident buffers at low per-bin counts, identical observable
+   * behavior. Prefer for very high group cardinality aggregations where
+   * millions of per-group buffers are resident at once. */
+  def packed(layout: Layout): Histogram = new Histogram(layout, packedCounters = true)
 }
 
 /** Immutable snapshot of one histogram bin. */

@@ -722,6 +722,124 @@ object LayoutCodec {
 }
 
 /**
+ * Reference-compatible layout type-info serde (dynahist
+ * `layout/LayoutSerialization.java:196-221`, `Layout.java:125-141`): an
+ * 8-byte registered serial version followed by the layout's own V0 payload
+ * (`LogLinearLayout.java:254-268`, `CustomLayout.java:115-126`,
+ * `OpenTelemetryExponentialBucketsLayout.java:217-224`; LogQuadratic and
+ * LogOptimal are structurally identical to LogLinear). Together with the V1
+ * histogram payload this lets blobs written by the reference toolchain with
+ * `writeWithTypeInfo` round-trip through this library and vice versa — the
+ * migration path for existing DynaHist data. [[LayoutCodec]] (the compact
+ * internal tag format used by [[SketchEnvelope]]) remains the at-rest format
+ * for sketches produced here.
+ */
+object ReferenceLayoutSerde {
+  import Codecs._
+
+  // registered serial versions, LayoutSerialization.java:199-220
+  private val SerialCustom = 0x7f862c3808df6fcdL
+  private val SerialLogLinear = 0x05d0c7e2dc0316e8L
+  private val SerialLogQuadratic = 0x9d36115de11d38d6L
+  private val SerialLogOptimal = 0x70c0ef16c3809948L
+  private val SerialOtel = 0xf6e717a16f0a6a4aL
+  private val V0 = 0
+
+  private def writeLog(
+      serial: Long,
+      a: Double,
+      r: Double,
+      underflowIdx: Int,
+      overflowIdx: Int,
+      out: DataOutput): Unit = {
+    out.writeLong(serial)
+    out.writeByte(V0)
+    out.writeDouble(a)
+    out.writeDouble(r)
+    writeSignedVarInt(underflowIdx, out)
+    writeSignedVarInt(overflowIdx, out)
+  }
+
+  def writeWithTypeInfo(layout: Layout, out: DataOutput): Unit = layout match {
+    case c: CustomLayout =>
+      out.writeLong(SerialCustom)
+      out.writeByte(V0)
+      writeUnsignedVarInt(c.boundaries.length, out)
+      c.boundaries.foreach(out.writeDouble)
+    case l: LogLinearLayout =>
+      writeLog(
+        SerialLogLinear, l.absoluteLimit, l.relativeLimit,
+        l.underflowBinIndex, l.overflowBinIndex, out)
+    case l: LogQuadraticLayout =>
+      writeLog(
+        SerialLogQuadratic, l.absoluteLimit, l.relativeLimit,
+        l.underflowBinIndex, l.overflowBinIndex, out)
+    case l: LogOptimalLayout =>
+      writeLog(
+        SerialLogOptimal, l.absoluteLimit, l.relativeLimit,
+        l.underflowBinIndex, l.overflowBinIndex, out)
+    case l: OtelExponentialLayout =>
+      out.writeLong(SerialOtel)
+      out.writeByte(V0)
+      out.writeByte(l.scale)
+    case other =>
+      throw new IOException(
+        s"layout type has no registered reference serial version: ${other.getClass.getName}")
+  }
+
+  private def checkV0(in: DataInput): Unit = {
+    val v = in.readByte()
+    if (v != V0) throw new IOException(s"unsupported layout serial version $v")
+  }
+
+  def readWithTypeInfo(in: DataInput): Layout = in.readLong() match {
+    case SerialCustom =>
+      checkV0(in)
+      val n = readUnsignedVarInt(in)
+      CustomLayout(Array.fill(n)(in.readDouble()))
+    case SerialLogLinear =>
+      checkV0(in)
+      val (a, r) = (in.readDouble(), in.readDouble())
+      LogLinearLayout.withIndices(a, r, readSignedVarInt(in), readSignedVarInt(in))
+    case SerialLogQuadratic =>
+      checkV0(in)
+      val (a, r) = (in.readDouble(), in.readDouble())
+      LogQuadraticLayout.withIndices(a, r, readSignedVarInt(in), readSignedVarInt(in))
+    case SerialLogOptimal =>
+      checkV0(in)
+      val (a, r) = (in.readDouble(), in.readDouble())
+      LogOptimalLayout.withIndices(a, r, readSignedVarInt(in), readSignedVarInt(in))
+    case SerialOtel =>
+      checkV0(in)
+      OtelExponentialLayout(in.readUnsignedByte())
+    case unknown =>
+      throw new IOException(
+        f"0x$unknown%016x is an unknown layout serialization version")
+  }
+
+  /** Histogram blob in the reference's self-describing convention: layout
+   * type info followed by the V1 histogram payload. */
+  def writeHistogramWithTypeInfo(h: Histogram, out: DataOutput): Unit = {
+    writeWithTypeInfo(h.layout, out)
+    HistogramSerde.write(h, out)
+  }
+
+  def readHistogramWithTypeInfo(in: DataInput): Histogram = {
+    val layout = readWithTypeInfo(in)
+    HistogramSerde.read(layout, in)
+  }
+
+  def toBytesWithTypeInfo(h: Histogram): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    writeHistogramWithTypeInfo(h, new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  def fromBytesWithTypeInfo(bytes: Array[Byte]): Histogram =
+    readHistogramWithTypeInfo(new DataInputStream(new ByteArrayInputStream(bytes)))
+}
+
+/**
  * Self-describing sketch bytes: magic, layout, then the V1 histogram payload.
  * This is the UDAF output / checkpoint-at-rest format.
  */

@@ -1,6 +1,12 @@
 package graft.spark
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.core._
+import graft.spark.expressions._
 
 /**
  * Config-based installation of the sketch function surface:
@@ -11,14 +17,24 @@ import org.apache.spark.sql.SparkSessionExtensions
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
  * }}}
  *
- * Registration happens on first session use via an injected rule hook (the
- * function registry is per-session; injectFunction would require expression
- * builders, while the udaf-backed functions register through the session's
- * UDF registry — both end up SQL-callable).
+ * Native expressions (scalar sketch queries and layout-parameterized
+ * histogram aggregates) are registered via `injectFunction` with expression
+ * builders — SQL-callable with arbitrary layout parameters, e.g.
+ * `hist_sketch_log_quadratic(v, 1e-3, 1e-2, 0, 1e6)`. The udaf-backed
+ * companion sketches (HLL/CMS/Bloom/t-digest/KLL) register through the
+ * session UDF registry on first use (they are `Aggregator`s, which have no
+ * expression-builder form).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    GraftExtensions.nativeBuilders.foreach { case (name, builder) =>
+      extensions.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[HistQuantile].getName, name),
+          builder))
+    }
     // A resolution rule runs with a session handle before analysis; use the
     // first invocation to install the UDF/UDAF registry entries idempotently.
     extensions.injectResolutionRule { session =>
@@ -44,4 +60,78 @@ object GraftExtensions {
   private val installed =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Evaluates a foldable argument to a Double (SQL numeric literals may
+   * arrive as Decimal/Int/etc). */
+  private def litDouble(fn: String, e: Expression): Double = {
+    require(e.foldable, s"$fn: layout parameters must be literals")
+    e.eval() match {
+      case d: java.lang.Double                     => d
+      case f: java.lang.Float                      => f.toDouble
+      case i: java.lang.Integer                    => i.toDouble
+      case l: java.lang.Long                       => l.toDouble
+      case s: java.lang.Short                      => s.toDouble
+      case d: org.apache.spark.sql.types.Decimal   => d.toDouble
+      case other =>
+        throw new IllegalArgumentException(s"$fn: expected a numeric literal, got $other")
+    }
+  }
+
+  private def litInt(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: parameters must be literals")
+    e.eval() match {
+      case i: java.lang.Integer => i.toInt
+      case l: java.lang.Long    => l.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$fn: expected an integer literal, got $other")
+    }
+  }
+
+  private def sketchAgg(fn: String, mkLayout: Seq[Expression] => Layout)
+      : Seq[Expression] => Expression =
+    args => HistogramSketchAgg(Cast(args.head, DoubleType), mkLayout(args.tail))
+      .toAggregateExpression()
+
+  /** Expression builders shared by `injectFunction` (new sessions) and
+   * [[functions.registerAll]] (existing sessions). */
+  private[spark] val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // scalar sketch queries
+    "hist_quantile" ->
+      ((args: Seq[Expression]) => HistQuantile(args(0), Cast(args(1), DoubleType))),
+    "hist_value_at_rank" ->
+      ((args: Seq[Expression]) => HistValueAtRank(args(0), Cast(args(1), LongType))),
+    "hist_total" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Total)),
+    "hist_min" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Min)),
+    "hist_max" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Max)),
+    "hist_underflow" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Underflow)),
+    "hist_overflow" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Overflow)),
+    "hist_bins" -> ((args: Seq[Expression]) => HistBins(args(0))),
+    // layout-parameterized histogram aggregates (value, layout params...)
+    "hist_sketch_log_quadratic" -> sketchAgg(
+      "hist_sketch_log_quadratic",
+      a => LogQuadraticLayout(
+        litDouble("hist_sketch_log_quadratic", a(0)),
+        litDouble("hist_sketch_log_quadratic", a(1)),
+        litDouble("hist_sketch_log_quadratic", a(2)),
+        litDouble("hist_sketch_log_quadratic", a(3)))),
+    "hist_sketch_log_linear" -> sketchAgg(
+      "hist_sketch_log_linear",
+      a => LogLinearLayout(
+        litDouble("hist_sketch_log_linear", a(0)),
+        litDouble("hist_sketch_log_linear", a(1)),
+        litDouble("hist_sketch_log_linear", a(2)),
+        litDouble("hist_sketch_log_linear", a(3)))),
+    "hist_sketch_log_optimal" -> sketchAgg(
+      "hist_sketch_log_optimal",
+      a => LogOptimalLayout(
+        litDouble("hist_sketch_log_optimal", a(0)),
+        litDouble("hist_sketch_log_optimal", a(1)),
+        litDouble("hist_sketch_log_optimal", a(2)),
+        litDouble("hist_sketch_log_optimal", a(3)))),
+    "hist_sketch_otel" -> sketchAgg(
+      "hist_sketch_otel",
+      a => OtelExponentialLayout(litInt("hist_sketch_otel", a(0)))),
+    "hist_sketch_custom" -> sketchAgg(
+      "hist_sketch_custom",
+      a => CustomLayout(a.map(litDouble("hist_sketch_custom", _)).toArray)))
 }

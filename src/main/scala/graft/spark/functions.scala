@@ -27,6 +27,12 @@ object functions {
   def hist_sketch(c: Column, layout: Layout): Column =
     udaf(new Aggs.HistogramAgg(layout), Encoders.DOUBLE).apply(c)
 
+  /** Same aggregation with adaptive bit-width (packed) counter buffers —
+   * up to 64x smaller resident per-group state; prefer when millions of
+   * group buffers are live in the aggregation hash map at once. */
+  def hist_sketch_packed(c: Column, layout: Layout): Column =
+    udaf(new Aggs.HistogramAgg(layout, packed = true), Encoders.DOUBLE).apply(c)
+
   /** Same aggregation with a native TypedImperativeAggregate whose shuffle
    * buffer is the compact V1 wire format instead of a kryo object graph —
    * prefer for very high group cardinality. */
@@ -96,8 +102,12 @@ object functions {
     hist(b).nonEmptyBins.map(bin =>
       BinRow(bin.binIndex, bin.binCount, bin.lowerBound, bin.upperBound)))
 
+  // The scalar query functions below are native Catalyst expressions
+  // (graft.spark.expressions.HistScalars): a static call inside whole-stage
+  // codegen, no UDF boxing/encoding boundary. The UDF variants above remain
+  // for compatibility.
   def hist_quantile(sketch: Column, p: Double): Column =
-    histQuantileUdf(sketch, org.apache.spark.sql.functions.lit(p))
+    expressions.HistScalars.quantile(sketch, org.apache.spark.sql.functions.lit(p))
 
   def hist_quantiles(sketch: Column, ps: Seq[Double]): Column =
     histQuantilesUdf(
@@ -105,16 +115,21 @@ object functions {
       org.apache.spark.sql.functions.array(ps.map(org.apache.spark.sql.functions.lit): _*))
 
   def hist_value_at_rank(sketch: Column, rank: Column): Column =
-    histValueAtRankUdf(sketch, rank)
+    expressions.HistScalars.valueAtRank(sketch, rank)
 
-  def hist_total(sketch: Column): Column = histTotalUdf(sketch)
-  def hist_min(sketch: Column): Column = histMinUdf(sketch)
-  def hist_max(sketch: Column): Column = histMaxUdf(sketch)
-  def hist_underflow(sketch: Column): Column = histUnderflowUdf(sketch)
-  def hist_overflow(sketch: Column): Column = histOverflowUdf(sketch)
+  def hist_total(sketch: Column): Column =
+    expressions.HistScalars.stat(sketch, expressions.HistStat.Total)
+  def hist_min(sketch: Column): Column =
+    expressions.HistScalars.stat(sketch, expressions.HistStat.Min)
+  def hist_max(sketch: Column): Column =
+    expressions.HistScalars.stat(sketch, expressions.HistStat.Max)
+  def hist_underflow(sketch: Column): Column =
+    expressions.HistScalars.stat(sketch, expressions.HistStat.Underflow)
+  def hist_overflow(sketch: Column): Column =
+    expressions.HistScalars.stat(sketch, expressions.HistStat.Overflow)
 
   /** Array of (bin_index, cnt, lower, upper) structs; explode() it for rows. */
-  def hist_bins(sketch: Column): Column = histBinsUdf(sketch)
+  def hist_bins(sketch: Column): Column = expressions.HistScalars.bins(sketch)
 
   /** Lossy re-binning into a different layout. */
   def hist_rebin(sketch: Column, newLayout: Layout): Column = {
@@ -184,11 +199,18 @@ object functions {
   // -------------------------------------------------------------------------
 
   /**
-   * Registers the sketch functions for SQL use. Layout-parameterized
-   * aggregates are registered for the common layouts; arbitrary layouts stay
-   * available through the typed column API.
+   * Registers the sketch functions for SQL use on an existing session.
+   *
+   * The histogram scalar queries and layout-parameterized aggregates go in
+   * as NATIVE expression builders (same table `SparkSessionExtensions`
+   * injects — `hist_sketch_log_quadratic(v, 1e-3, 1e-2, 0, 1e6)` etc. are
+   * SQL-callable with arbitrary layout literals); the `Aggregator`-backed
+   * companion sketches register through the UDF registry.
    */
   def registerAll(spark: SparkSession): Unit = {
+    GraftExtensions.nativeBuilders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.RegistryBridge.registerNative(spark, name, builder)
+    }
     val defaultLayout: Layout = LogQuadraticLayout(1e-8, 1e-2, -1e9, 1e9)
     spark.udf.register(
       "hist_sketch",
@@ -200,11 +222,6 @@ object functions {
     spark.udf.register("cms_sketch", udaf(new Aggs.CountMinAgg(5, 2048), Encoders.STRING))
     spark.udf.register("tdigest_sketch", udaf(new Aggs.TDigestAgg(100.0), Encoders.DOUBLE))
     spark.udf.register("kll_sketch", udaf(new Aggs.KllAgg(200), Encoders.DOUBLE))
-    spark.udf.register("hist_quantile", histQuantileUdf)
-    spark.udf.register("hist_total", histTotalUdf)
-    spark.udf.register("hist_min", histMinUdf)
-    spark.udf.register("hist_max", histMaxUdf)
-    spark.udf.register("hist_bins", histBinsUdf)
     spark.udf.register("hll_estimate", hllEstimateUdf)
     spark.udf.register("cms_estimate", cmsEstimateUdf)
     spark.udf.register("tdigest_quantile", tdigestQuantileUdf)

@@ -105,6 +105,15 @@ object Dedup {
   /**
    * Verified near-duplicate pairs: LSH candidates filtered by exact shingle
    * Jaccard >= threshold. The text join touches only candidate ids.
+   *
+   * With `collapseExact` (default), exact duplicates (by canonical
+   * fingerprint) are collapsed to one representative BEFORE banding, so a
+   * text duplicated 10^4 times contributes ONE row to the LSH self-join
+   * instead of a quadratic bucket blowup; group members are re-expanded
+   * afterwards via joins (intra-group pairs have Jaccard exactly 1.0 —
+   * identical canonical texts have identical shingle sets — and cross-group
+   * member pairs inherit their representatives' Jaccard). The expansion is
+   * linear in the OUTPUT pair count, which is inherent.
    */
   def nearDuplicatePairs(
       df: DataFrame,
@@ -113,12 +122,61 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+      shingleK: Int = 3,
+      collapseExact: Boolean = true): DataFrame = {
+    if (!collapseExact) {
+      return verifiedPairs(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+        threshold, numHashes, bands, shingleK)
+    }
+    val withFp = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        fingerprintUdf(col(textCol)).as("fp"),
+        col(textCol).as("text"))
+    // one representative (smallest id) per distinct canonical text
+    val reps = withFp
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("text"))).as("r"))
+      .select(col("fp"), col("r.id").as("id"), col("r.text").as("text"))
+      .localCheckpoint()
+    val repPairs = verifiedPairs(
+      reps.select(col("id"), col("text")), threshold, numHashes, bands, shingleK)
+    val members = withFp.select(col("fp"), col("id")).localCheckpoint()
+    // intra-group pairs: identical canonical text => Jaccard 1.0
+    val intra = members
+      .as("a")
+      .join(members.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    // cross-group pairs: expand each verified representative pair to all
+    // (member of A) x (member of B) combinations; groups differ, so ids never
+    // collide, but member ids interleave in id order
+    val repFp = reps.select(col("id").as("rid"), col("fp").as("rfp"))
+    val cross = repPairs
+      .join(repFp.as("fa"), col("id_a") === col("fa.rid"))
+      .join(repFp.as("fb"), col("id_b") === col("fb.rid"))
+      .join(members.as("ma"), col("fa.rfp") === col("ma.fp"))
+      .join(members.as("mb"), col("fb.rfp") === col("mb.fp"))
+      .select(
+        least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("jaccard"))
+    intra.unionByName(cross)
+  }
+
+  /** LSH candidates over (id, text), verified by sorted-shingle merge. */
+  private def verifiedPairs(
+      docsDf: DataFrame,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      shingleK: Int): DataFrame = {
+    val cands = minhashCandidates(docsDf, "id", "text", numHashes, bands, shingleK)
     // shingle sets computed once per document (materialized: joined twice),
     // pairs verified by sorted-array merge
-    val docs = df
-      .select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
+    val docs = docsDf
+      .select(col("id"), shinglesUdf(col("text"), lit(shingleK)).as("sh"))
       .localCheckpoint()
     cands
       .join(docs.as("da"), col("id_a") === col("da.id"))
@@ -231,6 +289,45 @@ object Dedup {
         }
       }
       .toDF("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Sampled brute-force ground truth for the LSH path: when the corpus
+   * exceeds `maxDocs`, the quadratic all-pairs Jaccard is computed only over
+   * a LOCALITY-SENSITIVE document sample — a doc is kept iff the minimum of
+   * its salted shingle hashes falls in the sampled residue class. Because
+   * near-duplicates (Jaccard j) share their minimum shingle with probability
+   * ~ j, both endpoints of a true pair are kept or dropped TOGETHER with
+   * probability ~ j/stride (vs 1/stride^2 for an independent doc sample), so
+   * the sampled truth retains a meaningful pair population while the
+   * quadratic cost drops by stride^2. The salt keeps the sample independent
+   * of the MinHash permutations under test. Below `maxDocs` this is the full
+   * exact truth.
+   */
+  def jaccardPairsAboveSampled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      maxDocs: Long = 1500L,
+      salt: Long = 0x5eed5eedL): DataFrame = {
+    val n = df.count()
+    if (n <= maxDocs) return jaccardPairsAboveBroadcast(df, idCol, textCol, threshold, shingleK)
+    val stride = ((n + maxDocs - 1) / maxDocs).toInt
+    val keepUdf = udf((s: String) => {
+      val h = TextFunctions.shingleHashes(s, shingleK)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < h.length) {
+        val x = graft.sketches.Hashing.hashLong(h(i), salt)
+        if (x < m) m = x
+        i += 1
+      }
+      ((m % stride) + stride) % stride == 0
+    })
+    jaccardPairsAboveBroadcast(
+      df.filter(keepUdf(col(textCol))), idCol, textCol, threshold, shingleK)
   }
 
   /**

@@ -334,12 +334,46 @@ object Similarity {
     centroids
   }
 
+  /** Nearest-centroid index of `v` under unit centroids `cents`. */
+  private def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val cc = cents(c)
+      while (i < cc.length && i < v.length) { d += cc(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `n` centroids with largest dot product against `v`. */
+  private def topCentroids(cents: Array[Array[Double]], v: Array[Double], n: Int): Array[Int] = {
+    val dots = Array.tabulate(cents.length) { c =>
+      var d = 0.0
+      var i = 0
+      val cc = cents(c)
+      while (i < cc.length && i < v.length) { d += cc(i) * v(i); i += 1 }
+      (c, d)
+    }
+    dots.sortBy(t => (-t._2, t._1)).take(n).map(_._1)
+  }
+
   /**
-   * IVF approximate top-k: corpus vectors are bucketed by nearest centroid
-   * (trained on a driver-side sample); each query probes its `probes`
-   * nearest centroid buckets and ranks those candidates by exact cosine.
-   * Scan fraction ~ probes/centroids of the corpus; the bucket join key is
-   * one int. Returns (query_id, neighbor_id, cosine, rank).
+   * IVF approximate top-k, fully distributed: the corpus is bucketed by
+   * nearest centroid (a broadcast-centroid map — no shuffle), queries fan out
+   * to their `probes` nearest buckets, and a single shuffle on the bucket id
+   * co-locates each bucket's inverted list with the queries probing it; each
+   * bucket task builds its list in memory (~corpus/centroids rows) and
+   * streams its queries through a bounded top-k heap. Per-query partial
+   * top-ks (<= probes*k rows each) are then merged by query id. Nothing
+   * corpus-sized ever reaches the driver: only the k-means training sample
+   * (a deterministic hash-sample capped at `sampleSize`) is collected. Scan
+   * fraction ~ probes/centroids. Returns (query_id, neighbor_id, cosine,
+   * rank); ties broken by ascending neighbor id.
    */
   def ivfCosineTopK(
       df: DataFrame,
@@ -351,91 +385,94 @@ object Similarity {
       sampleSize: Int = 100000,
       kmeansIters: Int = 10,
       seed: Long = 17L): DataFrame = {
-    val sample = df
-      .select(col(vecCol))
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cents = trainCentroids(sample, centroids, kmeansIters, seed)
-    val nProbes = math.min(probes, cents.length)
-
-    // Bucket the corpus into inverted lists by nearest centroid and
-    // broadcast them; queries probe their nearest `nProbes` buckets
-    // executor-locally with primitive math and a bounded top-k — no join,
-    // no window, no shuffle. (Beyond executor memory, the same structure
-    // shards the inverted lists across executors and fans queries out per
-    // shard; the probe math is unchanged.)
     val spark = df.sparkSession
     import spark.implicits._
-    def nearestCentroid(v: Array[Double]): Int = {
-      var best = 0
-      var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) {
-        var d = 0.0
-        var i = 0
-        val cc = cents(c)
-        while (i < cc.length && i < v.length) { d += cc(i) * v(i); i += 1 }
-        if (d > bestDot) { bestDot = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val bucketed: Array[Array[(Long, Array[Double], Double)]] = {
-      val buckets = Array.fill(cents.length)(
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)])
-      df.select(col(idCol).cast("long"), col(vecCol)).collect().foreach { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        buckets(nearestCentroid(v)) += ((r.getLong(0), v, math.sqrt(v.map(x => x * x).sum)))
-      }
-      buckets.map(_.toArray)
-    }
-    val bcBuckets = spark.sparkContext.broadcast(bucketed)
-    val bcCents = spark.sparkContext.broadcast(cents)
-    df.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val ids = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // deterministic hash-sample for the coarse quantizer: bounded driver
+    // memory regardless of corpus size
+    val n = df.count()
+    val stride = math.max(1L, n / math.max(1L, sampleSize.toLong)).toInt
+    val sample = ids
+      .filter(pmod(hash(col("id")), lit(stride)) === 0)
       .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val bucketsArr = bcBuckets.value
-        val centsArr = bcCents.value
-        it.flatMap { case (qid, qvF) =>
+      .collect()
+      .sortBy(_._1)
+      .take(sampleSize)
+      .map(_._2.map(_.toDouble))
+    val cents = trainCentroids(sample, centroids, kmeansIters, seed)
+    val nProbes = math.min(probes, cents.length)
+    val bcCents = spark.sparkContext.broadcast(cents)
+
+    // corpus rows tagged with their (single) home bucket — map-only
+    val corpusB = ids.as[(Long, Array[Float])].mapPartitions { it =>
+      val cs = bcCents.value
+      it.map { case (id, vF) => (nearestCentroid(cs, vF.map(_.toDouble)), id, vF) }
+    }
+    // queries fan out to their nProbes nearest buckets — map-only
+    val queriesP = ids.as[(Long, Array[Float])].mapPartitions { it =>
+      val cs = bcCents.value
+      it.flatMap { case (id, vF) =>
+        topCentroids(cs, vF.map(_.toDouble), nProbes).map(b => (b, id, vF))
+      }
+    }
+    // one shuffle on bucket id; per-bucket inverted list + streamed queries
+    val partial = corpusB
+      .groupByKey(_._1)
+      .cogroup(queriesP.groupByKey(_._1)) { (_, cIt, qIt) =>
+        val list = cIt.map { case (_, id, vF) =>
+          val v = vF.map(_.toDouble)
+          (id, v, math.sqrt(v.map(x => x * x).sum))
+        }.toArray
+        if (list.isEmpty) Iterator.empty
+        else qIt.flatMap { case (_, qid, qvF) =>
           val qv = qvF.map(_.toDouble)
           val qn = math.sqrt(qv.map(x => x * x).sum)
-          val dots = centsArr.indices.map { c =>
-            var d = 0.0
-            var i = 0
-            val cc = centsArr(c)
-            while (i < cc.length && i < qv.length) { d += cc(i) * qv(i); i += 1 }
-            (c, d)
-          }
-          val probeIds = dots.sortBy(-_._2).take(nProbes).map(_._1)
           val heap = new java.util.PriorityQueue[(Double, Long)](
             k + 1,
             Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse))
-          probeIds.foreach { b =>
-            val list = bucketsArr(b)
-            var i = 0
-            while (i < list.length) {
-              val (nid, nv, nn) = list(i)
-              if (nid != qid) {
-                var dot = 0.0
-                var d = 0
-                val len = math.min(qv.length, nv.length)
-                while (d < len) { dot += qv(d) * nv(d); d += 1 }
-                heap.add((dot / (qn * nn), nid))
-                if (heap.size > k) heap.poll()
-              }
-              i += 1
+          var i = 0
+          while (i < list.length) {
+            val (nid, nv, nn) = list(i)
+            if (nid != qid) {
+              var dot = 0.0
+              var d = 0
+              val len = math.min(qv.length, nv.length)
+              while (d < len) { dot += qv(d) * nv(d); d += 1 }
+              heap.add((dot / (qn * nn), nid))
+              if (heap.size > k) heap.poll()
             }
+            i += 1
           }
-          val out = new Array[(Long, Long, Double, Int)](heap.size)
-          var rank = heap.size
+          val out = new Array[(Long, Long, Double)](heap.size)
+          var j = heap.size - 1
           while (!heap.isEmpty) {
             val (cos, nid) = heap.poll()
-            out(rank - 1) = (qid, nid, cos, rank)
-            rank -= 1
+            out(j) = (qid, nid, cos)
+            j -= 1
           }
           out.iterator
         }
+      }
+    // merge per-query partials (each corpus vector lives in exactly one
+    // bucket, so no dedup is needed) into the final ranked top-k
+    partial
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val heap = new java.util.PriorityQueue[(Double, Long)](
+          k + 1,
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse))
+        it.foreach { case (_, nid, cos) =>
+          heap.add((cos, nid))
+          if (heap.size > k) heap.poll()
+        }
+        val out = new Array[(Long, Long, Double, Int)](heap.size)
+        var rank = heap.size
+        while (!heap.isEmpty) {
+          val (cos, nid) = heap.poll()
+          out(rank - 1) = (qid, nid, cos, rank)
+          rank -= 1
+        }
+        out.iterator
       }
       .toDF("query_id", "neighbor_id", "cosine", "rank")
   }

@@ -141,4 +141,53 @@ class SerdeSpec extends AnyFunSuite {
       assert(HistogramSerde.fromBytes(layout, HistogramSerde.toBytes(h)) == h)
     }
   }
+
+  test("layout writeWithTypeInfo matches reference-generated golden vectors") {
+    // goldens produced by RUNNING the reference's Layout.writeWithTypeInfo
+    // (LayoutSerialization.java registry) — byte-exact wire compatibility
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/layout_typeinfo_golden_vectors.txt"))
+    val lines =
+      try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      finally src.close()
+    assert(lines.size == 8)
+    def layoutFor(parts: Array[String]): Layout = parts(0) match {
+      case "loglinear" =>
+        LogLinearLayout(parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
+      case "logquadratic" =>
+        LogQuadraticLayout(
+          parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
+      case "logoptimal" =>
+        LogOptimalLayout(
+          parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
+      case "custom" =>
+        CustomLayout(Array(0.0, 1000.0, 2000.0, 4000.0, 8000.0, 16000.0, 32000.0, 64000.0))
+      case "otel" => OtelExponentialLayout(parts(1).toInt)
+    }
+    lines.foreach { line =>
+      val parts = line.split(" ")
+      val expectedHex = parts.last.toUpperCase
+      val layout = layoutFor(parts)
+      val bos = new ByteArrayOutputStream()
+      ReferenceLayoutSerde.writeWithTypeInfo(layout, new DataOutputStream(bos))
+      assert(hex(bos.toByteArray) == expectedHex, s"line: $line")
+      // a reference-written blob reads back to an equal layout
+      val back = ReferenceLayoutSerde.readWithTypeInfo(
+        new DataInputStream(new ByteArrayInputStream(
+          expectedHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)))
+      assert(back == layout, s"read-back mismatch for $line")
+    }
+  }
+
+  test("histogram blob with reference type info round-trips") {
+    val rnd = new java.util.SplittableRandom(91L)
+    for (_ <- 0 until 30) {
+      val h = randomHistogram(rnd)
+      if (!h.layout.isInstanceOf[IntegerLayout]) {
+        val bytes = ReferenceLayoutSerde.toBytesWithTypeInfo(h)
+        val back = ReferenceLayoutSerde.fromBytesWithTypeInfo(bytes)
+        assert(back.layout == h.layout && back == h)
+      }
+    }
+  }
 }

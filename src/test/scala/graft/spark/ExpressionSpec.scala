@@ -98,6 +98,76 @@ class ExpressionSpec extends AnyFunSuite {
     assert(v1 < 8 * h.nonEmptyBins.size, s"V1 size $v1 not compact")
   }
 
+  test("native scalar sketch expressions agree with the kernel and stay in codegen") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(42L)
+    val vs = Array.fill(10000)(rnd.nextDouble(0.5, 9e5))
+    val kernel = graft.core.Histogram(layout)
+    vs.foreach(kernel.addValue(_))
+    val df = vs.toSeq
+      .toDF("v")
+      .repartition(4) // defeat local-relation constant folding
+      .agg(hist_sketch(col("v"), layout).as("sk"))
+      .select(
+        hist_quantile(col("sk"), 0.5).as("q50"),
+        hist_value_at_rank(col("sk"), lit(vs.length / 2L)).as("var"),
+        hist_total(col("sk")).as("n"),
+        hist_min(col("sk")).as("mn"),
+        hist_max(col("sk")).as("mx"),
+        hist_underflow(col("sk")).as("uf"),
+        hist_overflow(col("sk")).as("of"),
+        hist_bins(col("sk")).as("bins"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == kernel.quantile(0.5))
+    assert(r.getDouble(1) == kernel.valueAt(vs.length / 2L))
+    assert(r.getLong(2) == vs.length.toLong)
+    assert(r.getDouble(3) == kernel.min && r.getDouble(4) == kernel.max)
+    assert(r.getLong(5) == 0L && r.getLong(6) == 0L)
+    val bins = r.getSeq[org.apache.spark.sql.Row](7)
+    val kernelBins = kernel.nonEmptyBins
+    assert(bins.length == kernelBins.length)
+    bins.zip(kernelBins).foreach { case (row, b) =>
+      assert(row.getInt(0) == b.binIndex && row.getLong(1) == b.binCount)
+      assert(row.getDouble(2) == b.lowerBound && row.getDouble(3) == b.upperBound)
+    }
+    // the scalar queries must sit inside a whole-stage-codegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      plan.linesIterator.exists(l => l.contains("*(") && l.contains("hist_quantile")),
+      s"hist_quantile not inside a codegen stage:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("hist_total")))
+  }
+
+  test("SQL surface: layout-parameterized native aggregates through registerAll") {
+    functions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(77L)
+    val vs = Array.fill(5000)(rnd.nextDouble(1.0, 5e5))
+    vs.toSeq.toDF("v").createOrReplaceTempView("sql_vals")
+    val kernel = graft.core.Histogram(LogQuadraticLayout(1e-3, 1e-2, 0, 1e6))
+    vs.foreach(kernel.addValue(_))
+    val r = spark
+      .sql("""SELECT hist_quantile(sk, 0.5) AS q50,
+                     hist_value_at_rank(sk, 10) AS v10,
+                     hist_total(sk) AS n,
+                     hist_max(sk) AS mx
+              FROM (SELECT hist_sketch_log_quadratic(v, 1e-3, 1e-2, 0.0, 1e6) AS sk
+                    FROM sql_vals)""")
+      .collect()(0)
+    assert(r.getDouble(0) == kernel.quantile(0.5))
+    assert(r.getDouble(1) == kernel.valueAt(10L))
+    assert(r.getLong(2) == vs.length.toLong)
+    assert(r.getDouble(3) == kernel.max)
+    // OTel + custom variants parse and aggregate
+    val r2 = spark
+      .sql("""SELECT hist_total(hist_sketch_otel(v, 4)) AS n1,
+                     hist_underflow(hist_sketch_custom(v, 10.0, 1000.0)) AS uf
+              FROM sql_vals""")
+      .collect()(0)
+    assert(r2.getLong(0) == vs.length.toLong)
+    assert(r2.getLong(1) == vs.count(_ < 10.0).toLong)
+  }
+
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {
     import spark.implicits._
     // 20k groups >> spark.sql.objectHashAggregate.sortBased.fallbackThreshold

@@ -108,6 +108,44 @@ class PlanAndParitySpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0)) // n_turns per role
   }
 
+  test("date-partitioned transcript layout: partition pruning reaches the scan") {
+    // Iceberg-shaped layout without Iceberg jars: the transcript table is
+    // written hive-partitioned by day; a day-ranged sketch query must prune
+    // to the matching partitions (the plan carries PartitionFilters and the
+    // scan reads only the selected directories)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val rnd = new java.util.SplittableRandom(9L)
+      val rows = (0 until 20000).map { i =>
+        (s"conv${i % 500}", i / 500, f"2026-01-${1 + i % 10}%02d", rnd.nextDouble() * 1e4)
+      }
+      rows.toDF("conv_id", "turn_idx", "day", "turn_len")
+        .write.partitionBy("day").mode("overwrite").parquet(tmp)
+      val df = spark.read.parquet(tmp)
+        .filter(col("day") === "2026-01-03")
+        .agg(hist_sketch(col("turn_len"), layout).as("sk"))
+        .select(functions.hist_total(col("sk")).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("day"), s"no partition filter on day:\n$plan")
+      // pruning really happened: only 1 of 10 day-directories is read
+      // (sparkPlan, not executedPlan: the AQE wrapper is a leaf node that
+      // hides the scan from collectLeaves)
+      val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, s"no file scan found:\n$plan")
+      assert(
+        scan.get.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
+      assert(df.collect()(0).getLong(0) == rows.count(_._3 == "2026-01-03").toLong)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("GraftExtensions installs the SQL surface via withExtensions") {
     val prior = spark // ensure shared context exists
     SparkSession.clearActiveSession()

@@ -59,6 +59,30 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(cands.contains((1L, 1001L)))
   }
 
+  test("skewed corpus: exact-dup collapse keeps LSH candidate generation linear") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(31L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    val hot = randText(100)
+    // one text duplicated 10^4 times — the classic LSH bucket-blowup input
+    val dups = (0 until 10000).map(i => (100000L + i, hot))
+    val uniques = (0 until 200).map(i => (i.toLong, randText(100)))
+    val df = (uniques ++ dups).toDF("doc_id", "text")
+    // candidate generation over the collapsed corpus is bounded: without the
+    // collapse the hot bucket alone would produce C(10^4, 2) ~ 5*10^7 pairs
+    val collapsed = Dedup.dropExactDuplicates(df, "doc_id", "text")
+    assert(collapsed.count() == 201)
+    val nCands = Dedup.minhashCandidates(collapsed, "doc_id", "text").count()
+    assert(nCands <= 10 * 201, s"candidate pairs not O(n): $nCands")
+    // end-to-end pairs on a smaller duplication factor (the OUTPUT is
+    // inherently quadratic in group size; the engine work is not)
+    val df2 = (uniques ++ dups.take(300)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df2, "doc_id", "text", threshold = 0.9)
+    val intra = pairs.filter(col("jaccard") === 1.0).count()
+    assert(intra >= 300L * 299L / 2, s"intra-group dup pairs missing: $intra")
+  }
+
   test("grouped jaccard pairs are exact and complete within groups") {
     import spark.implicits._
     val df = Seq(
@@ -137,6 +161,26 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(found.subsetOf(exact), "verified pairs must be exact-cosine filtered")
     val recall = exact.intersect(found).size.toDouble / exact.size
     assert(recall >= 0.9, s"near-dup recall $recall over ${exact.size} true pairs")
+  }
+
+  test("IVF ANN (distributed index build) top-1 recall and determinism") {
+    val exact = Similarity
+      .cosineTopKBroadcast(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def run() = Similarity
+      .ivfCosineTopK(vecsDf, "vec_id", "embedding", k = 1, centroids = 16, probes = 6)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val approx = run()
+    assert(approx == run(), "IVF result must be deterministic")
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF top-1 recall $recall")
   }
 
   test("LSH ANN achieves >=80% top-1 recall vs brute force") {
