@@ -56,11 +56,14 @@ object RecordingSpeed {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     layouts.foreach { case (name, mkLayout) =>
       val layout = mkLayout()
+      val (nsStatic, hStatic) = timeNsPerValue(values, () => Histogram.static(layout))
       val (nsPlain, hPlain) = timeNsPerValue(values, () => Histogram(layout))
       val (nsPacked, hPacked) = timeNsPerValue(values, () => Histogram.packed(layout))
-      require(hPlain == hPacked, s"$name: packed != plain after 1M values")
+      require(hPlain == hPacked && hPlain == hStatic, s"$name: buffer variants disagree")
+      println(f"$name%-18s ${"static"}%-8s $nsStatic%10.2f ${hStatic.estimatedFootprintBytes}%12d")
       println(f"$name%-18s ${"plain"}%-8s $nsPlain%10.2f ${hPlain.estimatedFootprintBytes}%12d")
       println(f"$name%-18s ${"packed"}%-8s $nsPacked%10.2f ${hPacked.estimatedFootprintBytes}%12d")
+      results(s"${name}_static_ns") = nsStatic
       results(s"${name}_plain_ns") = nsPlain
       results(s"${name}_packed_ns") = nsPacked
       results(s"${name}_plain_bytes") = hPlain.estimatedFootprintBytes.toDouble

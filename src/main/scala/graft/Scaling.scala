@@ -74,9 +74,13 @@ object Scaling {
           }
           println(s"GRAFT_SCALING_RESULT $n $best")
         case "pipeline" =>
+          // MEMORY_AND_DISK, not MEMORY_ONLY: at the higher parallelism the
+          // extra concurrent task memory evicts MEMORY_ONLY blocks and the
+          // recompute-from-parquet storms invert the comparison (measured
+          // 0.05 "efficiency" — local[32] slower than local[8])
           val df = spark.read
             .parquet(arg)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           graft.spark.TranscriptJob.runWithTextFeatures(spark, df) // warm-up + cache fill
           var best = Double.MaxValue
           var turns = 0L
@@ -142,7 +146,9 @@ object Scaling {
     }
     val (lowCpus, highCpus) = (8, 32)
     val engineRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000000")
-    val numConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "400000").toLong
+    // sized so the cached input fits comfortably at BOTH parallelism levels
+    // (cache pressure, not compute, dominated the old 400k-conv setting)
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "150000").toLong
 
     // primary: sketch-update engine
     val (nLow, engLow) = spawnChild("engine", lowCpus, engineRows)

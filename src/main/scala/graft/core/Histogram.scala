@@ -508,6 +508,9 @@ final class Histogram private (val layout: Layout, packedCounters: Boolean)
    * (always 6 for the plain-long buffer). */
   def counterMode: Int = mode
 
+  private[core] def preallocateFullRange(): Unit =
+    ensureWindow(layout.underflowBinIndex + 1, layout.overflowBinIndex - 1)
+
   // internal accessors for serde and preprocessing
   private[core] def regularWindowStart: Int = windowStart
   private[core] def regularWindow: Array[Long] =
@@ -570,6 +573,20 @@ object Histogram {
   /** Plain 64-bit counter window — fastest recording (StaticHistogram-class
    * buffer, dynahist `StaticHistogram.java:26-66`). */
   def apply(layout: Layout): Histogram = new Histogram(layout, packedCounters = false)
+
+  /** Preallocated plain counter buffer over the layout's ENTIRE regular bin
+   * range (dynahist `StaticHistogram.java:26-66`): recording never checks or
+   * grows the window, trading memory (8 bytes x regularBinCount up front)
+   * for the reference's fastest recording path. Only sensible for layouts
+   * with a bounded regular range. */
+  def static(layout: Layout): Histogram = {
+    require(
+      layout.regularBinCount <= Int.MaxValue / 8,
+      s"regular bin range too large to preallocate: ${layout.regularBinCount}")
+    val h = new Histogram(layout, packedCounters = false)
+    h.preallocateFullRange()
+    h
+  }
 
   /** Adaptive bit-width counter buffer: 2^mode bits per counter, mode grows
    * 0..6 on demand (dynahist `DynamicHistogram.java:30-75, 152-221`) — up to

@@ -118,6 +118,21 @@ object Aggs {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Count-weighted count-min sketch over (item, weight) pairs — e.g. token
+   * frequencies where each row carries a precomputed count. */
+  final class CountMinWeightedAgg(depth: Int, width: Int)
+      extends Aggregator[(String, java.lang.Long), CountMin, Array[Byte]] {
+    override def zero: CountMin = CountMin(depth, width)
+    override def reduce(b: CountMin, a: (String, java.lang.Long)): CountMin = {
+      if (a._1 != null && a._2 != null) b.addString(a._1, a._2.longValue())
+      b
+    }
+    override def merge(b1: CountMin, b2: CountMin): CountMin = b1.merge(b2)
+    override def finish(b: CountMin): Array[Byte] = b.toBytes
+    override def bufferEncoder: Encoder[CountMin] = Encoders.kryo[CountMin]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Bloom membership filter over longs. */
   final class BloomLongAgg(expectedItems: Long, fpp: Double)
       extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {

@@ -62,6 +62,16 @@ object functions {
   def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
     udaf(new Aggs.CountMinAgg(depth, width), Encoders.STRING).apply(c)
 
+  /** Count-weighted count-min sketch over (item, weight). */
+  def cms_sketch_weighted(
+      item: Column,
+      weight: Column,
+      depth: Int = 5,
+      width: Int = 2048): Column =
+    udaf(
+      new Aggs.CountMinWeightedAgg(depth, width),
+      Encoders.tuple(Encoders.STRING, Encoders.LONG)).apply(item, weight)
+
   /** Bloom filter of a long column. */
   def bloom_sketch(c: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     udaf(new Aggs.BloomLongAgg(expectedItems, fpp), Encoders.LONG).apply(c)

@@ -255,6 +255,23 @@ class SciPyQuantileSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("static (preallocated) histogram behaves identically to the windowed one") {
+    val layout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
+    val st = Histogram.static(layout)
+    val dyn = Histogram(layout)
+    val rnd = new java.util.SplittableRandom(13L)
+    (0 until 3000).foreach { _ =>
+      val v = rnd.nextDouble(-10.0, 2e6) // includes under/overflow traffic
+      st.addValue(v)
+      dyn.addValue(v)
+    }
+    assert(st == dyn)
+    assert(st.nonEmptyBins == dyn.nonEmptyBins)
+    assert(HistogramSerde.toBytes(st).sameElements(HistogramSerde.toBytes(dyn)))
+    // preallocation trades memory for growth-free recording
+    assert(st.estimatedFootprintBytes > dyn.estimatedFootprintBytes)
+  }
+
   test("packed counters: window growth in both directions preserves counts") {
     val layout = LogQuadraticLayout(1e-6, 1e-2, -1e6, 1e6)
     val packed = Histogram.packed(layout)

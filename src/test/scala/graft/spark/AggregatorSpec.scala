@@ -179,4 +179,26 @@ class AggregatorSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 500.0) < 10)
     assert(math.abs(r.getDouble(1) - 100.0) < 5)
   }
+
+  test("weighted CMS equals unweighted repetition, byte-identically") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(23L)
+    val weighted = (0 until 2000).map(i => (s"item${i % 50}", 1L + rnd.nextInt(20)))
+    val expanded = weighted.flatMap { case (s, w) => Seq.fill(w.toInt)(s) }
+    val a = weighted
+      .toDF("item", "w")
+      .agg(cms_sketch_weighted(org.apache.spark.sql.functions.col("item"),
+        org.apache.spark.sql.functions.col("w")))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    val b = expanded
+      .toDF("item")
+      .agg(cms_sketch(org.apache.spark.sql.functions.col("item")))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+    val cm = graft.sketches.CountMin.fromBytes(a)
+    val exact = expanded.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (item, n) => assert(cm.estimateString(item) >= n) }
+  }
 }
