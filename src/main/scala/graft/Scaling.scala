@@ -54,7 +54,8 @@ object Scaling {
           (pmod(hash(col("id")), lit(100000)).cast("double") / 100000.0)
             * lit(math.log(1e4) - math.log(10.0)) + lit(math.log(10.0))).as("turn_len"))
       .groupBy(col("role_idx"))
-      .agg(graft.spark.functions.hist_sketch(col("turn_len"), layout))
+      // native TypedImperativeAggregate: V1 shuffle buffers + unboxed update
+      .agg(graft.spark.functions.hist_sketch_binary(col("turn_len"), layout))
       .collect()
   }
 

@@ -33,9 +33,24 @@ case class HistogramSketchAgg(
 
   override def createAggregationBuffer(): Histogram = Histogram(layout)
 
+  // Unboxed hot path: after Spark binds references, a plain double column
+  // arrives as a BoundReference — read it with getDouble instead of eval()
+  // (which boxes a java.lang.Double per row; at 10^8-row rates the boxing
+  // garbage alone drives young-GC pauses, measured on multi-executor runs).
+  @transient private lazy val boundOrdinal: Int = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == org.apache.spark.sql.types.DoubleType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buffer: Histogram, input: InternalRow): Histogram = {
-    val v = child.eval(input)
-    if (v != null) buffer.addValue(v.asInstanceOf[Double])
+    val ord = boundOrdinal
+    if (ord >= 0) {
+      if (!input.isNullAt(ord)) buffer.addValue(input.getDouble(ord))
+    } else {
+      val v = child.eval(input)
+      if (v != null) buffer.addValue(v.asInstanceOf[Double])
+    }
     buffer
   }
 

@@ -165,6 +165,27 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /**
+   * Corpus deduplication: drops every document that is an exact or verified
+   * near-duplicate (Jaccard >= threshold) of a smaller-id document — i.e.
+   * keeps the greedy min-id representative of each duplicate cluster. The
+   * pair generation is the banded-LSH path above (linear in docs +
+   * candidates); the removal is a distinct + left-anti join on 8-byte ids.
+   */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val toDrop = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+      .select(col("id_b").as("__drop_id"))
+      .distinct()
+    df.join(toDrop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** LSH candidates over (id, text), verified by sorted-shingle merge. */
   private def verifiedPairs(
       docsDf: DataFrame,

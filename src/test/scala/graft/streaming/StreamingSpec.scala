@@ -62,6 +62,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful sketch state survives a query RESTART via checkpoint recovery") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    try {
+      val rnd = new java.util.SplittableRandom(5L)
+      val batch1 = (0 until 4000).map(i => (s"k${i % 3}", rnd.nextDouble() * 100))
+      val batch2 = (0 until 4000).map(i => (s"k${i % 3}", 100 + rnd.nextDouble() * 100))
+      batch1.toDF("k", "v").write.parquet(s"$tmp/in")
+
+      def startQuery() = {
+        val stream = spark.readStream
+          .schema("k string, v double")
+          .parquet(s"$tmp/in")
+          .as[(String, Double)]
+        StreamingSketch
+          .statefulPerKeyHistogram(stream, layout)
+          .toDF("k", "n", "p50")
+          .writeStream
+          .outputMode("update")
+          // foreachBatch, not the memory sink: only fault-tolerant sinks
+          // support restarting from a checkpoint
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+      }
+      // first incarnation processes batch1, then the query is STOPPED
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      // new data lands while the query is down
+      batch2.toDF("k", "v").write.mode("append").parquet(s"$tmp/in")
+      // second incarnation recovers per-key sketch state from the checkpoint
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+
+      val finalCounts = spark.read
+        .parquet(s"$tmp/out")
+        .groupBy(col("k"))
+        .agg(max(col("n")).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      // counts cover BOTH batches: the restarted query resumed the sketches,
+      // it did not restart them from zero
+      val expected = (batch1 ++ batch2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(finalCounts == expected)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("stateful per-key sketch accumulates across micro-batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString

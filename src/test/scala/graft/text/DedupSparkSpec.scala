@@ -59,6 +59,18 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(cands.contains((1L, 1001L)))
   }
 
+  test("dropNearDuplicates keeps exactly the min-id representatives") {
+    val kept = Dedup.dropNearDuplicates(docsDf, "doc_id", "text", threshold = 0.7)
+      .select(col("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    // exact dups 1000/1001 (of docs 0/1) and near-dup 1002 (of doc 2) dropped
+    assert(!kept.contains(1000L) && !kept.contains(1001L) && !kept.contains(1002L))
+    assert(kept.contains(0L) && kept.contains(1L) && kept.contains(2L))
+    assert(kept.size == docsDf.count() - 3)
+  }
+
   test("skewed corpus: exact-dup collapse keeps LSH candidate generation linear") {
     import spark.implicits._
     val rnd = new java.util.SplittableRandom(31L)
