@@ -468,11 +468,14 @@ object SparkEntry {
     },
     // 20. OpenTelemetry exponential-buckets layout: exploded bin counts,
     //     re-counted by the oracle against the layout's own exact bin
-    //     boundaries (verifies the OTel mapping + bound inversion end-to-end)
+    //     boundaries (verifies the OTel mapping + bound inversion end-to-end).
+    //     Aggregated with the PACKED adaptive-width counter buffer, so the
+    //     mode-0..6 packing is exercised by a driver oracle too (the output
+    //     envelope bytes are identical to the plain buffer by construction).
     "q20_otel_bins" -> { (s, dir) =>
       val layout = OtelExponentialLayout(4)
       table(s, dir, "lineitem")
-        .agg(hist_sketch(col("l_quantity"), layout).as("sk"))
+        .agg(hist_sketch_packed(col("l_quantity"), layout).as("sk"))
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
     },

@@ -84,6 +84,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.toolCallsP95 > 0) // hot conversation has many tool turns
   }
 
+  test("TranscriptMain (spark-submit entry) writes per-role table, summary, metrics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_main").toString
+    try {
+      Transcripts.synthesize(spark, numConvs = 200, avgTurns = 8).toDF()
+        .write.parquet(s"$tmp/in")
+      TranscriptMain.main(Array(s"$tmp/in", s"$tmp/out"))
+      val perRole = spark.read.parquet(s"$tmp/out/per_role.parquet").collect()
+      assert(perRole.nonEmpty)
+      assert(perRole.forall(_.getAs[Long]("n_turns") > 0))
+      val summary = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/out/summary.json"))
+      assert(summary.contains("\"turns\":") && summary.contains("latency_p50_ms"))
+      val metrics = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/out/metrics.json"))
+      assert(metrics.contains("\"records_read\":"))
+      // the listener really observed the job: records were read, tasks ran
+      val records = "\"records_read\":(\\d+)".r.findFirstMatchIn(metrics).get.group(1).toLong
+      val tasks = "\"tasks_completed\":(\\d+)".r.findFirstMatchIn(metrics).get.group(1).toLong
+      assert(records > 0 && tasks > 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("transcript synthesis is deterministic and contains the hot conversation") {
     import spark.implicits._
     val a = Transcripts.synthesize(spark, 50, avgTurns = 10).collect()

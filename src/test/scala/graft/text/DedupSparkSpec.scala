@@ -95,6 +95,29 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(intra >= 300L * 299L / 2, s"intra-group dup pairs missing: $intra")
   }
 
+  test("candidate generation plans as equi-joins — no cartesian/BNLJ anywhere") {
+    // the 100 TB shape requirement: every self-join must key on band/block
+    // hashes (shuffled equi-join), never degenerate to an all-pairs join
+    val plans = Seq(
+      Dedup.minhashCandidates(docsDf, "doc_id", "text")
+        .queryExecution.sparkPlan.toString,
+      Dedup.simhashCandidates(docsDf, "doc_id", "text")
+        .queryExecution.sparkPlan.toString,
+      Similarity.signLshCandidatePairs(vecsForPlan, "vec_id", "embedding")
+        .queryExecution.sparkPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$p")
+    }
+  }
+
+  private def vecsForPlan = {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(3L)
+    (0 until 50).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
   test("grouped jaccard pairs are exact and complete within groups") {
     import spark.implicits._
     val df = Seq(
