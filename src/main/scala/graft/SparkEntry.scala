@@ -316,10 +316,11 @@ object SparkEntry {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .toSet
-      // exact-duplicate pairs (identical text) must ALL be found — cheap to
-      // derive exactly at any scale via a group-by on the text
+      // exact-duplicate pairs (identical canonical text) must ALL be found —
+      // derived exactly at any scale via a group-by on the 8-byte canonical
+      // fingerprint (the text itself never shuffles)
       val dupPairs = docs
-        .groupBy(col("text"))
+        .groupBy(graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
         .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
         .select(col("ids"))

@@ -95,6 +95,41 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(intra >= 300L * 299L / 2, s"intra-group dup pairs missing: $intra")
   }
 
+  test("sampled brute-force truth: pair-preserving, threshold-correct, full below cap") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(41L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => s"w${rnd.nextInt(2000)}").mkString(" ")
+    // 4000 docs with 60 planted near-dup pairs (>= ~0.9 jaccard)
+    val originals = (0 until 4000).map(i => (i.toLong, randText(80)))
+    val planted = (0 until 60).map { i =>
+      val toks = originals(i * 10)._2.split(" ")
+      (10000L + i, (toks.take(76) ++ (0 until 4).map(j => s"x$i$j")).mkString(" "))
+    }
+    val df = (originals ++ planted).toDF("doc_id", "text")
+    val sampled = Dedup
+      .jaccardPairsAboveSampled(df, "doc_id", "text", threshold = 0.8, maxDocs = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every reported pair is genuinely above threshold (verified kernel-side)
+    val byId = (originals ++ planted).toMap
+    sampled.foreach { case (a, b, j) =>
+      val exact = TextFunctions.shingleJaccard(byId(a), byId(b), 3)
+      assert(math.abs(j - exact) < 1e-12 && exact >= 0.8, s"pair ($a,$b)")
+    }
+    // the locality-sensitive sample keeps both endpoints together: with
+    // stride ceil(4060/1000)=5 and pair survival ~ j/stride, expect ~10 of
+    // the 60 planted pairs; require a healthy floor (prob of <3 is tiny)
+    val plantedFound = sampled.count { case (a, b, _) => b >= 10000L || a >= 10000L }
+    assert(plantedFound >= 3, s"only $plantedFound planted pairs survived sampling")
+    // below the cap the truth is the FULL brute force
+    val small = (originals.take(300) ++ planted.take(10)).toDF("doc_id", "text")
+    val full = Dedup
+      .jaccardPairsAboveSampled(small, "doc_id", "text", threshold = 0.8, maxDocs = 1000L)
+      .count()
+    assert(full >= 10, s"full truth below cap missed planted pairs: $full")
+  }
+
   test("candidate generation plans as equi-joins — no cartesian/BNLJ anywhere") {
     // the 100 TB shape requirement: every self-join must key on band/block
     // hashes (shuffled equi-join), never degenerate to an all-pairs join
