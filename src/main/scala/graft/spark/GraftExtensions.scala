@@ -100,6 +100,10 @@ object GraftExtensions {
       ((args: Seq[Expression]) => HistQuantile(args(0), Cast(args(1), DoubleType))),
     "hist_value_at_rank" ->
       ((args: Seq[Expression]) => HistValueAtRank(args(0), Cast(args(1), LongType))),
+    "hist_quantiles" ->
+      ((args: Seq[Expression]) => HistQuantiles(
+        args(0),
+        Cast(args(1), org.apache.spark.sql.types.ArrayType(DoubleType)))),
     "hist_total" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Total)),
     "hist_min" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Min)),
     "hist_max" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Max)),

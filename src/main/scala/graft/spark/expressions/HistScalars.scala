@@ -25,6 +25,18 @@ object HistEval {
   def underflow(b: Array[Byte]): Long = SketchEnvelope.fromBytes(b).underflowCount
   def overflow(b: Array[Byte]): Long = SketchEnvelope.fromBytes(b).overflowCount
 
+  def quantiles(b: Array[Byte], ps: ArrayData): ArrayData = {
+    val pre = SketchEnvelope.fromBytes(b).preprocessed // O(log bins) per p
+    val n = ps.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = pre.quantile(ps.getDouble(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def bins(b: Array[Byte]): ArrayData = {
     val h = SketchEnvelope.fromBytes(b)
     val rows = h.nonEmptyBins.map { bin =>
@@ -85,6 +97,31 @@ case class HistValueAtRank(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HistValueAtRank =
     copy(left = l, right = r)
   override def prettyName: String = "hist_value_at_rank"
+}
+
+/** Native `hist_quantiles(sketch, array<double>)` — one preprocessed pass,
+ * O(log bins) per requested quantile. */
+case class HistQuantiles(left: Expression, right: Expression)
+    extends BinaryExpression with SketchInput {
+  override protected def sketchChild: Expression = left
+  override protected def fnName: String = prettyName
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val s = checkSketchType()
+    if (s != TypeCheckResult.TypeCheckSuccess) s
+    else right.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an ARRAY<DOUBLE> p argument, got ${other.sql}")
+    }
+  }
+  override def nullSafeEval(b: Any, ps: Any): Any =
+    HistEval.quantiles(b.asInstanceOf[Array[Byte]], ps.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, ps) => s"graft.spark.expressions.HistEval.quantiles($b, $ps)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HistQuantiles =
+    copy(left = l, right = r)
+  override def prettyName: String = "hist_quantiles"
 }
 
 object HistStat {
@@ -151,6 +188,8 @@ object HistScalars {
     column(HistQuantile(expression(sketch), expression(p.cast("double"))))
   def valueAtRank(sketch: Column, rank: Column): Column =
     column(HistValueAtRank(expression(sketch), expression(rank.cast("long"))))
+  def quantiles(sketch: Column, ps: Column): Column =
+    column(HistQuantiles(expression(sketch), expression(ps)))
   def stat(sketch: Column, s: HistStat.Stat): Column =
     column(HistStat(expression(sketch), s))
   def bins(sketch: Column): Column = column(HistBins(expression(sketch)))

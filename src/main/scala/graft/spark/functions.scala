@@ -120,7 +120,7 @@ object functions {
     expressions.HistScalars.quantile(sketch, org.apache.spark.sql.functions.lit(p))
 
   def hist_quantiles(sketch: Column, ps: Seq[Double]): Column =
-    histQuantilesUdf(
+    expressions.HistScalars.quantiles(
       sketch,
       org.apache.spark.sql.functions.array(ps.map(org.apache.spark.sql.functions.lit): _*))
 
@@ -147,6 +147,22 @@ object functions {
       SketchEnvelope.toBytes(Histogram(newLayout).add(hist(b))))
     f(sketch)
   }
+
+  /** Converts a histogram blob written by the reference toolchain
+   * (`Layout.writeWithTypeInfo` + V1 payload) into this library's sketch
+   * envelope — the column-level migration path for existing data. */
+  val histFromReferenceUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) =>
+      SketchEnvelope.toBytes(ReferenceLayoutSerde.fromBytesWithTypeInfo(b)))
+
+  def hist_from_reference(c: Column): Column = histFromReferenceUdf(c)
+
+  /** Inverse of [[hist_from_reference]]: emits blobs the reference
+   * toolchain reads back with `Layout.readWithTypeInfo` + V1 read. */
+  val histToReferenceUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) => ReferenceLayoutSerde.toBytesWithTypeInfo(hist(b)))
+
+  def hist_to_reference(c: Column): Column = histToReferenceUdf(c)
 
   /** Scalar merge of two sketch columns. */
   val histMerge2Udf: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => {

@@ -334,6 +334,63 @@ object Similarity {
     centroids
   }
 
+  /**
+   * Distributed spherical k-means (Lloyd's): per-iteration treeAggregate of
+   * per-centroid vector sums + counts over the (hash-sampled) corpus — the
+   * only data that ever reaches the driver is k centroids and the k seed
+   * vectors (smallest hash picks, deterministic). Use when centroids x dim
+   * or the training sample no longer comfortably fits the driver.
+   */
+  private[text] def trainCentroidsDistributed(
+      sample: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.hash
+    val spark = sample.sparkSession
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // deterministic seeding: the k sample vectors with the smallest id-hash
+    val seeds = sample
+      .orderBy(hash(col("_1")), col("_1"))
+      .limit(k)
+      .collect()
+      .map(r => normalize(r._2.map(_.toDouble)))
+    require(seeds.nonEmpty, "empty k-means sample")
+    var centroids = seeds
+    val dim = centroids(0).length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, counts) = sample.rdd.treeAggregate(
+        (Array.fill(centroids.length)(new Array[Double](dim)),
+          new Array[Long](centroids.length)))(
+        seqOp = { case ((s, c), (_, vF)) =>
+          val v = normalize(vF.map(_.toDouble))
+          val best = nearestCentroid(bc.value, v)
+          var i = 0
+          while (i < dim && i < v.length) { s(best)(i) += v(i); i += 1 }
+          c(best) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var j = 0
+          while (j < s1.length) {
+            var i = 0
+            while (i < dim) { s1(j)(i) += s2(j)(i); i += 1 }
+            c1(j) += c2(j)
+            j += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      centroids = centroids.indices.map { j =>
+        if (counts(j) > 0) normalize(sums(j)) else centroids(j)
+      }.toArray
+    }
+    centroids
+  }
+
   /** Nearest-centroid index of `v` under unit centroids `cents`. */
   private def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0
@@ -384,7 +441,8 @@ object Similarity {
       probes: Int = 8,
       sampleSize: Int = 100000,
       kmeansIters: Int = 10,
-      seed: Long = 17L): DataFrame = {
+      seed: Long = 17L,
+      distributedTraining: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -392,14 +450,22 @@ object Similarity {
     // memory regardless of corpus size
     val n = df.count()
     val stride = math.max(1L, n / math.max(1L, sampleSize.toLong)).toInt
-    val sample = ids
+    val sampleDs = ids
       .filter(pmod(hash(col("id")), lit(stride)) === 0)
       .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
-      .take(sampleSize)
-      .map(_._2.map(_.toDouble))
-    val cents = trainCentroids(sample, centroids, kmeansIters, seed)
+    // with distributedTraining, Lloyd's iterations run as treeAggregates and
+    // only k centroids ever reach the driver; otherwise the (bounded) sample
+    // is collected and trained driver-side
+    val cents =
+      if (distributedTraining) trainCentroidsDistributed(sampleDs, centroids, kmeansIters)
+      else {
+        val sample = sampleDs
+          .collect()
+          .sortBy(_._1)
+          .take(sampleSize)
+          .map(_._2.map(_.toDouble))
+        trainCentroids(sample, centroids, kmeansIters, seed)
+      }
     val nProbes = math.min(probes, cents.length)
     val bcCents = spark.sparkContext.broadcast(cents)
 

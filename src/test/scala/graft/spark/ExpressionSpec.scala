@@ -138,6 +138,31 @@ class ExpressionSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("hist_total")))
   }
 
+  test("hist_quantiles native expression + reference-format migration columns") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(61L)
+    val vs = Array.fill(8000)(rnd.nextDouble(1.0, 8e5))
+    val kernel = graft.core.Histogram(layout)
+    vs.foreach(kernel.addValue(_))
+    val pre = kernel.preprocessed
+    val df = vs.toSeq
+      .toDF("v")
+      .repartition(4)
+      .agg(hist_sketch(col("v"), layout).as("sk"))
+      .select(
+        hist_quantiles(col("sk"), Seq(0.1, 0.5, 0.9)).as("qs"),
+        // round-trip through the reference's writeWithTypeInfo wire format
+        hist_total(hist_from_reference(hist_to_reference(col("sk")))).as("n_rt"),
+        hist_quantile(hist_from_reference(hist_to_reference(col("sk"))), 0.5).as("q_rt"))
+    val r = df.collect()(0)
+    val qs = r.getSeq[Double](0)
+    assert(qs == Seq(0.1, 0.5, 0.9).map(pre.quantile(_)))
+    assert(r.getLong(1) == vs.length.toLong)
+    assert(r.getDouble(2) == kernel.quantile(0.5))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("hist_quantiles")))
+  }
+
   test("SQL surface: layout-parameterized native aggregates through registerAll") {
     functions.registerAll(spark)
     import spark.implicits._

@@ -253,6 +253,27 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF top-1 recall $recall")
   }
 
+  test("IVF ANN with fully-distributed k-means training matches recall + determinism") {
+    val exact = Similarity
+      .cosineTopKBroadcast(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def run() = Similarity
+      .ivfCosineTopK(vecsDf, "vec_id", "embedding", k = 1, centroids = 16, probes = 6,
+        distributedTraining = true)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val approx = run()
+    assert(approx == run(), "distributed-training IVF must be deterministic")
+    val recall = exact.count { case (q, nb) => approx.get(q).contains(nb) }.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF (distributed training) top-1 recall $recall")
+  }
+
   test("LSH ANN achieves >=80% top-1 recall vs brute force") {
     val exact = Similarity
       .cosineTopKBroadcast(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
