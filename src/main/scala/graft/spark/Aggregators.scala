@@ -76,6 +76,68 @@ object Aggs {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Generic re-merge of already-finished sketch byte columns: the second
+   * phase of two-level aggregation (e.g. per-day sketch tables merged into
+   * monthly rollups) for any companion sketch. Deterministic for HLL
+   * (register max), CMS (counter addition) and Bloom (bit OR); t-digest and
+   * KLL merges are order-sensitive internally but keep their error bounds
+   * under any merge tree. */
+  abstract class BytesMergeAgg[S <: AnyRef](implicit tag: scala.reflect.ClassTag[S])
+      extends Aggregator[Array[Byte], Option[S], Array[Byte]] {
+    protected def decode(bytes: Array[Byte]): S
+    protected def mergeSketch(a: S, b: S): S
+    protected def encode(s: S): Array[Byte]
+    override def zero: Option[S] = None
+    override def reduce(b: Option[S], bytes: Array[Byte]): Option[S] = {
+      if (bytes == null || bytes.isEmpty) return b
+      val s = decode(bytes)
+      b match {
+        case Some(acc) => Some(mergeSketch(acc, s))
+        case None      => Some(s)
+      }
+    }
+    override def merge(b1: Option[S], b2: Option[S]): Option[S] = (b1, b2) match {
+      case (Some(a), Some(b)) => Some(mergeSketch(a, b))
+      case (Some(_), None)    => b1
+      case _                  => b2
+    }
+    override def finish(b: Option[S]): Array[Byte] =
+      b.map(encode).getOrElse(Array.empty[Byte])
+    override def bufferEncoder: Encoder[Option[S]] = Encoders.kryo[Option[S]]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class HllMergeAgg extends BytesMergeAgg[Hll] {
+    override protected def decode(b: Array[Byte]): Hll = Hll.fromBytes(b)
+    override protected def mergeSketch(a: Hll, b: Hll): Hll = a.merge(b)
+    override protected def encode(s: Hll): Array[Byte] = s.toBytes
+  }
+
+  final class CountMinMergeAgg extends BytesMergeAgg[CountMin] {
+    override protected def decode(b: Array[Byte]): CountMin = CountMin.fromBytes(b)
+    override protected def mergeSketch(a: CountMin, b: CountMin): CountMin = a.merge(b)
+    override protected def encode(s: CountMin): Array[Byte] = s.toBytes
+  }
+
+  final class BloomMergeAgg extends BytesMergeAgg[BloomFilter] {
+    override protected def decode(b: Array[Byte]): BloomFilter = BloomFilter.fromBytes(b)
+    override protected def mergeSketch(a: BloomFilter, b: BloomFilter): BloomFilter =
+      a.merge(b)
+    override protected def encode(s: BloomFilter): Array[Byte] = s.toBytes
+  }
+
+  final class TDigestMergeAgg extends BytesMergeAgg[TDigest] {
+    override protected def decode(b: Array[Byte]): TDigest = TDigest.fromBytes(b)
+    override protected def mergeSketch(a: TDigest, b: TDigest): TDigest = a.merge(b)
+    override protected def encode(s: TDigest): Array[Byte] = s.toBytes
+  }
+
+  final class KllMergeAgg extends BytesMergeAgg[Kll] {
+    override protected def decode(b: Array[Byte]): Kll = Kll.fromBytes(b)
+    override protected def mergeSketch(a: Kll, b: Kll): Kll = a.merge(b)
+    override protected def encode(s: Kll): Array[Byte] = s.toBytes
+  }
+
   /** HyperLogLog distinct count over strings (nulls skipped). */
   final class HllStringAgg(precision: Int)
       extends Aggregator[String, Hll, Array[Byte]] {

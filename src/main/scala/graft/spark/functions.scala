@@ -62,6 +62,19 @@ object functions {
   def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
     udaf(new Aggs.CountMinAgg(depth, width), Encoders.STRING).apply(c)
 
+  /** Re-merge aggregators for stored companion-sketch byte columns — the
+   * second phase of two-level rollups (per-day sketch tables -> monthly). */
+  def hll_merge(c: Column): Column =
+    udaf(new Aggs.HllMergeAgg, Encoders.BINARY).apply(c)
+  def cms_merge(c: Column): Column =
+    udaf(new Aggs.CountMinMergeAgg, Encoders.BINARY).apply(c)
+  def bloom_merge(c: Column): Column =
+    udaf(new Aggs.BloomMergeAgg, Encoders.BINARY).apply(c)
+  def tdigest_merge(c: Column): Column =
+    udaf(new Aggs.TDigestMergeAgg, Encoders.BINARY).apply(c)
+  def kll_merge(c: Column): Column =
+    udaf(new Aggs.KllMergeAgg, Encoders.BINARY).apply(c)
+
   /** Count-weighted count-min sketch over (item, weight). */
   def cms_sketch_weighted(
       item: Column,

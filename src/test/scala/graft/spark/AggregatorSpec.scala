@@ -180,6 +180,54 @@ class AggregatorSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 100.0) < 5)
   }
 
+  test("two-level rollup via *_merge equals direct aggregation for every sketch") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(17L)
+    val rows = (0 until 30000).map { i =>
+      (s"day${i % 7}", s"user${rnd.nextInt(2000)}", rnd.nextInt(100000).toLong,
+        rnd.nextDouble() * 1e4)
+    }
+    val df = rows.toDF("day", "user", "key", "v").repartition(8)
+    // phase 1: per-day sketches; phase 2: merge the stored sketch columns
+    val daily = df
+      .groupBy(col("day"))
+      .agg(
+        hll_sketch(col("user")).as("hll"),
+        cms_sketch(col("user")).as("cms"),
+        bloom_sketch(col("key"), 100000).as("bloom"),
+        tdigest_sketch(col("v")).as("td"),
+        kll_sketch(col("v")).as("kll"))
+      .localCheckpoint()
+    val merged = daily.agg(
+      hll_merge(col("hll")).as("hll"),
+      cms_merge(col("cms")).as("cms"),
+      bloom_merge(col("bloom")).as("bloom"),
+      tdigest_merge(col("td")).as("td"),
+      kll_merge(col("kll")).as("kll"))
+      .collect()(0)
+    val direct = df.agg(
+      hll_sketch(col("user")).as("hll"),
+      cms_sketch(col("user")).as("cms"),
+      bloom_sketch(col("key"), 100000).as("bloom"),
+      tdigest_sketch(col("v")).as("td"),
+      kll_sketch(col("v")).as("kll"))
+      .collect()(0)
+    // HLL (register max), CMS (addition), Bloom (bit OR) are merge-order
+    // invariant: byte-identical to the direct aggregation
+    assert(java.util.Arrays.equals(merged.getAs[Array[Byte]](0), direct.getAs[Array[Byte]](0)))
+    assert(java.util.Arrays.equals(merged.getAs[Array[Byte]](1), direct.getAs[Array[Byte]](1)))
+    assert(java.util.Arrays.equals(merged.getAs[Array[Byte]](2), direct.getAs[Array[Byte]](2)))
+    // t-digest / KLL merges are internally order-sensitive; their ERROR
+    // BOUNDS hold: compare quantiles of merged vs exact ranks
+    val exactSorted = rows.map(_._4).sorted
+    def rankOf(x: Double): Double =
+      exactSorted.count(_ <= x).toDouble / exactSorted.size
+    val tdQ = graft.sketches.TDigest.fromBytes(merged.getAs[Array[Byte]](3)).quantile(0.5)
+    assert(math.abs(rankOf(tdQ) - 0.5) <= 0.02, s"t-digest merged p50 rank ${rankOf(tdQ)}")
+    val kllQ = graft.sketches.Kll.fromBytes(merged.getAs[Array[Byte]](4)).quantile(0.5)
+    assert(math.abs(rankOf(kllQ) - 0.5) <= 0.02, s"KLL merged p50 rank ${rankOf(kllQ)}")
+  }
+
   test("weighted CMS equals unweighted repetition, byte-identically") {
     import spark.implicits._
     val rnd = new java.util.SplittableRandom(23L)
