@@ -140,6 +140,37 @@ object functions {
   def hist_value_at_rank(sketch: Column, rank: Column): Column =
     expressions.HistScalars.valueAtRank(sketch, rank)
 
+  private def valueEstimator(name: String): ValueEstimator = name.toLowerCase match {
+    case "uniform"     => ValueEstimator.Uniform
+    case "lower_bound" => ValueEstimator.LowerBound
+    case "upper_bound" => ValueEstimator.UpperBound
+    case "mid_point"   => ValueEstimator.MidPoint
+    case other => throw new IllegalArgumentException(
+      s"unknown value estimator '$other' (uniform|lower_bound|upper_bound|mid_point)")
+  }
+
+  /** Rank-value estimate under an explicit reconstruction policy (reference
+   * `getValue(rank, ValueEstimator)`): uniform | lower_bound | upper_bound |
+   * mid_point. lower/upper bracket the true order statistic; mid_point
+   * halves the error bounds. */
+  def hist_value_at_rank(sketch: Column, rank: Column, estimator: String): Column = {
+    val est = valueEstimator(estimator)
+    udf((b: Array[Byte], r: Long) => hist(b).valueAt(r, est)).apply(sketch, rank)
+  }
+
+  /** Quantile under explicit SciPy plotting positions and value estimator
+   * (reference `getQuantile(p, QuantileEstimator, ValueEstimator)`). */
+  def hist_quantile(
+      sketch: Column,
+      p: Double,
+      alphap: Double,
+      betap: Double,
+      estimator: String = "uniform"): Column = {
+    val qe = QuantileEstimator(alphap, betap)
+    val ve = valueEstimator(estimator)
+    udf((b: Array[Byte]) => hist(b).quantile(p, qe, ve)).apply(sketch)
+  }
+
   def hist_total(sketch: Column): Column =
     expressions.HistScalars.stat(sketch, expressions.HistStat.Total)
   def hist_min(sketch: Column): Column =

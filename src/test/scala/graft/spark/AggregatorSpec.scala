@@ -180,6 +180,31 @@ class AggregatorSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 100.0) < 5)
   }
 
+  test("estimator-parameterized rank/quantile queries bracket the true order stat") {
+    import spark.implicits._
+    val layout = graft.core.LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
+    val rnd = new java.util.SplittableRandom(29L)
+    val vs = Array.fill(10000)(rnd.nextDouble(1.0, 9e5))
+    val sorted = vs.sorted
+    val rank = 4321L
+    val r = vs.toSeq
+      .toDF("v")
+      .agg(hist_sketch(col("v"), layout).as("sk"))
+      .select(
+        hist_value_at_rank(col("sk"), lit(rank), "lower_bound").as("lo"),
+        hist_value_at_rank(col("sk"), lit(rank), "upper_bound").as("hi"),
+        hist_value_at_rank(col("sk"), lit(rank), "mid_point").as("mid"),
+        hist_quantile(col("sk"), 0.5, 0.4, 0.4).as("q_scipy"),
+        hist_quantile(col("sk"), 0.5).as("q_default"))
+      .collect()(0)
+    val exact = sorted(rank.toInt)
+    assert(r.getDouble(0) <= exact && exact <= r.getDouble(1),
+      s"[lo,hi]=[${r.getDouble(0)},${r.getDouble(1)}] does not bracket $exact")
+    assert(r.getDouble(2) >= r.getDouble(0) && r.getDouble(2) <= r.getDouble(1))
+    // explicit SciPy(0.4,0.4) equals the default quantile estimator
+    assert(r.getDouble(3) == r.getDouble(4))
+  }
+
   test("two-level rollup via *_merge equals direct aggregation for every sketch") {
     import spark.implicits._
     val rnd = new java.util.SplittableRandom(17L)
