@@ -137,5 +137,22 @@ object GraftExtensions {
       a => OtelExponentialLayout(litInt("hist_sketch_otel", a(0)))),
     "hist_sketch_custom" -> sketchAgg(
       "hist_sketch_custom",
-      a => CustomLayout(a.map(litDouble("hist_sketch_custom", _)).toArray)))
+      a => CustomLayout(a.map(litDouble("hist_sketch_custom", _)).toArray)),
+    // native bin-index scalar with layout literals (whole-stage codegen)
+    "hist_bin_index_log_quadratic" -> ((args: Seq[Expression]) =>
+      HistBinIndex(
+        Cast(args(0), DoubleType),
+        LogQuadraticLayout(
+          litDouble("hist_bin_index_log_quadratic", args(1)),
+          litDouble("hist_bin_index_log_quadratic", args(2)),
+          litDouble("hist_bin_index_log_quadratic", args(3)),
+          litDouble("hist_bin_index_log_quadratic", args(4))))),
+    "hist_bin_index_otel" -> ((args: Seq[Expression]) =>
+      HistBinIndex(
+        Cast(args(0), DoubleType),
+        OtelExponentialLayout(litInt("hist_bin_index_otel", args(1))))),
+    "hist_bin_index_custom" -> ((args: Seq[Expression]) =>
+      HistBinIndex(
+        Cast(args(0), DoubleType),
+        CustomLayout(args.tail.map(litDouble("hist_bin_index_custom", _)).toArray))))
 }

@@ -26,6 +26,54 @@ object HistogramProperties extends Properties("Histogram") {
     h
   }
 
+  private val genWeights: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(1L, 1000000L))
+
+  property("packed/static/windowed buffers are observably identical") =
+    forAll(genLayout, genValues, genValues, genWeights) { (l, a, b, ws) =>
+      def fill(h: Histogram): Histogram = {
+        a.foreach(h.addValue(_))
+        b.zip(ws).foreach { case (v, w) => h.addValue(v, w) }
+        h
+      }
+      val windowed = fill(Histogram(l))
+      val packed = fill(Histogram.packed(l))
+      val static0 = fill(Histogram.static(l))
+      windowed == packed && windowed == static0 &&
+      java.util.Arrays.equals(HistogramSerde.toBytes(windowed), HistogramSerde.toBytes(packed)) &&
+      // cross-variant merges stay exact
+      Histogram.packed(l).add(windowed).add(static0) ==
+        Histogram(l).add(packed).add(packed)
+    }
+
+  property("reference type-info layout serde round-trips random layouts") =
+    forAll(
+      Gen.oneOf(
+        for {
+          a <- Gen.chooseNum(1e-6, 1.0)
+          r <- Gen.chooseNum(1e-3, 0.1)
+          hi <- Gen.chooseNum(1e3, 1e9)
+        } yield LogQuadraticLayout(a, r, 0, hi): Layout,
+        for {
+          a <- Gen.chooseNum(1e-6, 1.0)
+          r <- Gen.chooseNum(1e-3, 0.1)
+          hi <- Gen.chooseNum(1e3, 1e9)
+        } yield LogLinearLayout(a, r, 0, hi): Layout,
+        for {
+          a <- Gen.chooseNum(1e-6, 1.0)
+          r <- Gen.chooseNum(1e-3, 0.1)
+          hi <- Gen.chooseNum(1e3, 1e9)
+        } yield LogOptimalLayout(a, r, 0, hi): Layout,
+        Gen.chooseNum(0, 10).map(s => OtelExponentialLayout(s): Layout),
+        Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)).map(bs =>
+          CustomLayout(bs.distinct.sorted.toArray): Layout))) { l =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ReferenceLayoutSerde.writeWithTypeInfo(l, new java.io.DataOutputStream(bos))
+      val back = ReferenceLayoutSerde.readWithTypeInfo(
+        new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray)))
+      back == l
+    }
+
   property("merge is commutative") = forAll(genLayout, genValues, genValues) { (l, a, b) =>
     val ab = Histogram(l).add(build(l, a)).add(build(l, b))
     val ba = Histogram(l).add(build(l, b)).add(build(l, a))

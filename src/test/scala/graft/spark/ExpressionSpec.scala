@@ -191,6 +191,18 @@ class ExpressionSpec extends AnyFunSuite {
       .collect()(0)
     assert(r2.getLong(0) == vs.length.toLong)
     assert(r2.getLong(1) == vs.count(_ < 10.0).toLong)
+    // SQL-callable native bin-index with layout literals == kernel mapping
+    val sqlLayout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
+    val binRows = spark
+      .sql("""SELECT v, hist_bin_index_log_quadratic(v, 1e-3, 1e-2, 0.0, 1e6) AS b
+              FROM sql_vals""")
+      .collect()
+    binRows.foreach(r => assert(r.getInt(1) == sqlLayout.mapToBinIndex(r.getDouble(0))))
+    val customRows = spark
+      .sql("SELECT v, hist_bin_index_custom(v, 10.0, 100.0, 1000.0) AS b FROM sql_vals")
+      .collect()
+    val cl = graft.core.CustomLayout(10.0, 100.0, 1000.0)
+    customRows.foreach(r => assert(r.getInt(1) == cl.mapToBinIndex(r.getDouble(0))))
   }
 
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {
