@@ -53,6 +53,16 @@ class PlanAndParitySpec extends AnyFunSuite {
     // two ObjectHashAggregate occurrences = map-side partial + final
     val n = "ObjectHashAggregate".r.findAllIn(plan).size
     assert(n >= 2, s"expected partial+final object hash aggregate, plan:\n$plan")
+    // the native TypedImperativeAggregate variant plans identically
+    val planBin = li
+      .groupBy(col("l_returnflag"))
+      .agg(hist_sketch_binary(col("l_extendedprice"), layout))
+      .queryExecution
+      .executedPlan
+      .toString
+    val nBin = "ObjectHashAggregate".r.findAllIn(planBin).size
+    assert(nBin >= 2, s"native agg lost partial+final, plan:\n$planBin")
+    assert(planBin.contains("partial_hist_sketch_binary"), s"no partial phase:\n$planBin")
   }
 
   test("HLL accuracy is in the same class as approx_count_distinct (HLL++)") {
