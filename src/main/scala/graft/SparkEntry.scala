@@ -118,10 +118,14 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // 1. CustomLayout bin counts, exploded — exact, SQL-checkable bin by bin
+    // 1. CustomLayout bin counts, exploded — exact, SQL-checkable bin by bin.
+    //    Uses the native TypedImperativeAggregate (V1 shuffle buffers +
+    //    unboxed update) so that aggregation path has driver-oracle coverage
+    //    too (q20 covers the packed buffer; the kryo Aggregator runs in the
+    //    remaining histogram queries).
     "q01_hist_custom_bins" -> { (s, dir) =>
       table(s, dir, "lineitem")
-        .agg(hist_sketch(col("l_extendedprice"), priceLayout).as("sk"))
+        .agg(hist_sketch_binary(col("l_extendedprice"), priceLayout).as("sk"))
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
     },
