@@ -560,6 +560,36 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("rank", "n", "ok").orderBy(col("rank"))
     },
+    // 25. signed values: the log layouts' sign-symmetric mapping under the
+    //     driver oracle — shifted prices span negative and positive ranges;
+    //     exact scalars re-derived by DuckDB, quantile as an error-bound
+    //     boolean vs exact SciPy order statistics
+    "q25_signed_hist" -> { (s, dir) =>
+      val layout = LogQuadraticLayout(1e-3, 1e-2, -1e5, 1e6)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), (col("l_extendedprice") - lit(30000.0)).as("v"))
+      val sketches = li
+        .groupBy(col("l_returnflag"))
+        .agg(hist_sketch(col("v"), layout).as("sk"))
+        .select(
+          col("l_returnflag"),
+          hist_total(col("sk")).as("n"),
+          hist_min(col("sk")).as("mn"),
+          hist_max(col("sk")).as("mx"),
+          hist_quantile(col("sk"), 0.5).as("est"))
+      val exact = exactSciPyQuantiles(li, "l_returnflag", "v", Seq(0.5))
+        .select(col("l_returnflag"), col("exact_q"))
+      sketches
+        .join(exact, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          col("mn"),
+          col("mx"),
+          (abs(col("est") - col("exact_q")) <=
+            greatest(lit(1e-3), lit(1e-2) * abs(col("exact_q"))) * lit(1 + 1e-9)).as("ok"))
+        .orderBy(col("l_returnflag"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -688,6 +718,12 @@ object SparkEntry {
       s"""SELECT ${layoutBinCaseSql("l_quantity", layout, loIdx, hiIdx)} AS bin_index,
           count(*) AS cnt FROM lineitem GROUP BY 1"""
     },
+    "q25_signed_hist" ->
+      """SELECT l_returnflag, count(*) AS n,
+                min(l_extendedprice - 30000.0) AS mn,
+                max(l_extendedprice - 30000.0) AS mx,
+                true AS ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q23_hist_rebin" ->
       s"""SELECT ${customBinCaseSql("l_extendedprice", coarsePriceBoundaries)} AS bin_index,
           count(*) AS cnt FROM lineitem GROUP BY 1""",
