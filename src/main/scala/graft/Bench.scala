@@ -60,10 +60,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
+    // Locale.ROOT formatting: the f-interpolator is locale-dependent and a
+    // comma-decimal locale would break the driver's JSON parse
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""sketch_update":{"rows":$n,"sec":${f"$engineBest%.2f"},""" +
-        s""""turns_per_sec":${f"$turnsPerSec%.0f"}}}""")
+        s""""sketch_update":{"rows":$n,"sec":${num("%.2f", engineBest)},""" +
+        s""""turns_per_sec":${num("%.0f", turnsPerSec)}}}""")
     spark.stop()
   }
 }

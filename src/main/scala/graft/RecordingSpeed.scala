@@ -96,7 +96,10 @@ object RecordingSpeed {
     results("group_buffer_plain_bytes") = plainPerGroup
     results("group_buffer_packed_bytes") = packedPerGroup
 
-    val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString(",")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    val json = results.map { case (k, v) =>
+      s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+    }.mkString(",")
     println(s"""{"metric":"kernel_recording","n":$N,$json}""")
   }
 }

@@ -140,10 +140,14 @@ object Scaling {
     val thrLow = turns / secLow
     val thrHigh = turns / secHigh
     val eff = thrHigh / ((highCpus.toDouble / lowCpus) * thrLow)
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val json =
-      s""""$name":{"turns":$turns,"efficiency":${f"$eff%.4f"},""" +
-        s""""low":{"cpus":$lowCpus,"sec":${f"$secLow%.2f"},"turns_per_sec":${f"$thrLow%.0f"}},""" +
-        s""""high":{"cpus":$highCpus,"sec":${f"$secHigh%.2f"},"turns_per_sec":${f"$thrHigh%.0f"}}}"""
+      s""""$name":{"turns":$turns,"efficiency":${num("%.4f", eff)},""" +
+        s""""low":{"cpus":$lowCpus,"sec":${num("%.2f", secLow)},""" +
+        s""""turns_per_sec":${num("%.0f", thrLow)}},""" +
+        s""""high":{"cpus":$highCpus,"sec":${num("%.2f", secHigh)},""" +
+        s""""turns_per_sec":${num("%.0f", thrHigh)}}}"""
     (eff, json)
   }
 
@@ -201,7 +205,8 @@ object Scaling {
       highCpus, math.min(pipeHigh1, pipeHigh2))
 
     println(
-      s"""{"metric":"scaling_efficiency","value":${f"$engEff%.4f"},"unit":"ratio",""" +
+      s"""{"metric":"scaling_efficiency","value":${String.format(
+          java.util.Locale.ROOT, "%.4f", Double.box(engEff))},"unit":"ratio",""" +
         s"$engJson,$pipeJson}")
     import scala.reflect.io.Directory
     new Directory(new java.io.File(tmp)).deleteRecursively()

@@ -61,6 +61,21 @@ object GraftExtensions {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
+  /** Wraps a builder with a proper wrong-number-of-arguments error (raw
+   * args(i) indexing would throw an opaque IndexOutOfBoundsException during
+   * analysis). */
+  private def expectArgs(fn: String, n: Int, atLeast: Boolean = false)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      val ok = if (atLeast) args.length >= n else args.length == n
+      if (!ok) {
+        val what = if (atLeast) s"at least $n" else s"$n"
+        throw new IllegalArgumentException(
+          s"$fn expects $what argument(s), got ${args.length}")
+      }
+      b(args)
+    }
+
   /** Evaluates a foldable argument to a Double (SQL numeric literals may
    * arrive as Decimal/Int/etc). */
   private def litDouble(fn: String, e: Expression): Double = {
@@ -96,50 +111,52 @@ object GraftExtensions {
    * [[functions.registerAll]] (existing sessions). */
   private[spark] val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // scalar sketch queries
-    "hist_quantile" ->
-      ((args: Seq[Expression]) => HistQuantile(args(0), Cast(args(1), DoubleType))),
-    "hist_value_at_rank" ->
-      ((args: Seq[Expression]) => HistValueAtRank(args(0), Cast(args(1), LongType))),
-    "hist_quantiles" ->
-      ((args: Seq[Expression]) => HistQuantiles(
+    "hist_quantile" -> expectArgs("hist_quantile", 2)(
+      args => HistQuantile(args(0), Cast(args(1), DoubleType))),
+    "hist_value_at_rank" -> expectArgs("hist_value_at_rank", 2)(
+      args => HistValueAtRank(args(0), Cast(args(1), LongType))),
+    "hist_quantiles" -> expectArgs("hist_quantiles", 2)(
+      args => HistQuantiles(
         args(0),
         Cast(args(1), org.apache.spark.sql.types.ArrayType(DoubleType)))),
-    "hist_total" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Total)),
-    "hist_min" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Min)),
-    "hist_max" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Max)),
-    "hist_underflow" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Underflow)),
-    "hist_overflow" -> ((args: Seq[Expression]) => HistStat(args(0), HistStat.Overflow)),
-    "hist_bins" -> ((args: Seq[Expression]) => HistBins(args(0))),
+    "hist_total" -> expectArgs("hist_total", 1)(args => HistStat(args(0), HistStat.Total)),
+    "hist_min" -> expectArgs("hist_min", 1)(args => HistStat(args(0), HistStat.Min)),
+    "hist_max" -> expectArgs("hist_max", 1)(args => HistStat(args(0), HistStat.Max)),
+    "hist_underflow" -> expectArgs("hist_underflow", 1)(
+      args => HistStat(args(0), HistStat.Underflow)),
+    "hist_overflow" -> expectArgs("hist_overflow", 1)(
+      args => HistStat(args(0), HistStat.Overflow)),
+    "hist_bins" -> expectArgs("hist_bins", 1)(args => HistBins(args(0))),
     // layout-parameterized histogram aggregates (value, layout params...)
-    "hist_sketch_log_quadratic" -> sketchAgg(
+    "hist_sketch_log_quadratic" -> expectArgs("hist_sketch_log_quadratic", 5)(sketchAgg(
       "hist_sketch_log_quadratic",
       a => LogQuadraticLayout(
         litDouble("hist_sketch_log_quadratic", a(0)),
         litDouble("hist_sketch_log_quadratic", a(1)),
         litDouble("hist_sketch_log_quadratic", a(2)),
-        litDouble("hist_sketch_log_quadratic", a(3)))),
-    "hist_sketch_log_linear" -> sketchAgg(
+        litDouble("hist_sketch_log_quadratic", a(3))))),
+    "hist_sketch_log_linear" -> expectArgs("hist_sketch_log_linear", 5)(sketchAgg(
       "hist_sketch_log_linear",
       a => LogLinearLayout(
         litDouble("hist_sketch_log_linear", a(0)),
         litDouble("hist_sketch_log_linear", a(1)),
         litDouble("hist_sketch_log_linear", a(2)),
-        litDouble("hist_sketch_log_linear", a(3)))),
-    "hist_sketch_log_optimal" -> sketchAgg(
+        litDouble("hist_sketch_log_linear", a(3))))),
+    "hist_sketch_log_optimal" -> expectArgs("hist_sketch_log_optimal", 5)(sketchAgg(
       "hist_sketch_log_optimal",
       a => LogOptimalLayout(
         litDouble("hist_sketch_log_optimal", a(0)),
         litDouble("hist_sketch_log_optimal", a(1)),
         litDouble("hist_sketch_log_optimal", a(2)),
-        litDouble("hist_sketch_log_optimal", a(3)))),
-    "hist_sketch_otel" -> sketchAgg(
+        litDouble("hist_sketch_log_optimal", a(3))))),
+    "hist_sketch_otel" -> expectArgs("hist_sketch_otel", 2)(sketchAgg(
       "hist_sketch_otel",
-      a => OtelExponentialLayout(litInt("hist_sketch_otel", a(0)))),
-    "hist_sketch_custom" -> sketchAgg(
+      a => OtelExponentialLayout(litInt("hist_sketch_otel", a(0))))),
+    "hist_sketch_custom" -> expectArgs("hist_sketch_custom", 2, atLeast = true)(sketchAgg(
       "hist_sketch_custom",
-      a => CustomLayout(a.map(litDouble("hist_sketch_custom", _)).toArray)),
+      a => CustomLayout(a.map(litDouble("hist_sketch_custom", _)).toArray))),
     // native bin-index scalar with layout literals (whole-stage codegen)
-    "hist_bin_index_log_quadratic" -> ((args: Seq[Expression]) =>
+    "hist_bin_index_log_quadratic" -> expectArgs("hist_bin_index_log_quadratic", 5)(args =>
       HistBinIndex(
         Cast(args(0), DoubleType),
         LogQuadraticLayout(
@@ -147,11 +164,11 @@ object GraftExtensions {
           litDouble("hist_bin_index_log_quadratic", args(2)),
           litDouble("hist_bin_index_log_quadratic", args(3)),
           litDouble("hist_bin_index_log_quadratic", args(4))))),
-    "hist_bin_index_otel" -> ((args: Seq[Expression]) =>
+    "hist_bin_index_otel" -> expectArgs("hist_bin_index_otel", 2)(args =>
       HistBinIndex(
         Cast(args(0), DoubleType),
         OtelExponentialLayout(litInt("hist_bin_index_otel", args(1))))),
-    "hist_bin_index_custom" -> ((args: Seq[Expression]) =>
+    "hist_bin_index_custom" -> expectArgs("hist_bin_index_custom", 2, atLeast = true)(args =>
       HistBinIndex(
         Cast(args(0), DoubleType),
         CustomLayout(args.tail.map(litDouble("hist_bin_index_custom", _)).toArray))))

@@ -55,7 +55,9 @@ object TranscriptMain {
       .parquet(s"$outDir/per_role.parquet")
 
     val wallSec = (System.nanoTime() - t0) / 1e9
-    def jsonNum(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def jsonNum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/summary.json"),
@@ -69,7 +71,10 @@ object TranscriptMain {
         s""""tasks_completed":${listener.tasksCompleted},""" +
         s""""wall_sec":${jsonNum(wallSec)}}""")
 
-    if (!sys.props.contains("spark.master")) () // leave shared sessions alive in tests
-    else spark.stop()
+    // stop only sessions we effectively own (spark-submit / env-configured
+    // masters); in-process callers (tests) keep their shared session alive
+    if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")) {
+      spark.stop()
+    }
   }
 }

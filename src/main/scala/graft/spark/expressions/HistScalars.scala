@@ -31,6 +31,11 @@ object HistEval {
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
+      // getDouble on a null slot silently reads 0.0 (-> histogram min); fail
+      // loudly instead — the declared result type is containsNull = false
+      if (ps.isNullAt(i)) {
+        throw new IllegalArgumentException("hist_quantiles: p values must not be null")
+      }
       out(i) = pre.quantile(ps.getDouble(i))
       i += 1
     }

@@ -126,12 +126,15 @@ object Dedup {
       collapseExact: Boolean = true): DataFrame = {
     if (!collapseExact) {
       return verifiedPairs(
-        df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+        df.select(col(idCol).as("id"), col(textCol).as("text")),
         threshold, numHashes, bands, shingleK)
     }
+    // ids keep their original type: ordering and joins work for longs,
+    // strings, UUIDs alike (casting to long would silently null out
+    // non-numeric ids and return zero pairs)
     val withFp = df
       .select(
-        col(idCol).cast("long").as("id"),
+        col(idCol).as("id"),
         fingerprintUdf(col(textCol)).as("fp"),
         col(textCol).as("text"))
     // one representative (smallest id) per distinct canonical text
@@ -170,7 +173,7 @@ object Dedup {
    * near-duplicate (Jaccard >= threshold) of a smaller-id document — i.e.
    * keeps the greedy min-id representative of each duplicate cluster. The
    * pair generation is the banded-LSH path above (linear in docs +
-   * candidates); the removal is a distinct + left-anti join on 8-byte ids.
+   * candidates); the removal is a distinct + left-anti join on the id column.
    */
   def dropNearDuplicates(
       df: DataFrame,
@@ -183,7 +186,7 @@ object Dedup {
     val toDrop = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
       .select(col("id_b").as("__drop_id"))
       .distinct()
-    df.join(toDrop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+    df.join(toDrop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** LSH candidates over (id, text), verified by sorted-shingle merge. */

@@ -345,12 +345,24 @@ object Similarity {
       sample: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       k: Int,
       iters: Int): Array[Array[Double]] = {
-    import org.apache.spark.sql.functions.hash
-    val spark = sample.sparkSession
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
+    // the bounded sample feeds the seed query plus every Lloyd iteration —
+    // cache it so the corpus scan + hash filter run once, not iters+1 times
+    val cached = sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOnCached(cached, k, iters, normalize)
+    finally cached.unpersist(blocking = false)
+  }
+
+  private def trainOnCached(
+      sample: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int,
+      iters: Int,
+      normalize: Array[Double] => Array[Double]): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.hash
+    val spark = sample.sparkSession
     // deterministic seeding: the k sample vectors with the smallest id-hash
     val seeds = sample
       .orderBy(hash(col("_1")), col("_1"))

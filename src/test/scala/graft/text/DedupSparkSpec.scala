@@ -59,6 +59,22 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(cands.contains((1L, 1001L)))
   }
 
+  test("near-dup detection and corpus dedup work with STRING document ids") {
+    // regression: an id cast to long would silently null out string ids and
+    // return zero pairs
+    val strDocs = docsDf.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val pairs = Dedup.nearDuplicatePairs(strDocs, "doc_id", "text", threshold = 0.7)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(pairs.contains(("doc-0", "doc-1000")), s"string-id exact dup pair missed: $pairs")
+    // lexicographic id ordering: "doc-1002" < "doc-2"
+    assert(pairs.contains(("doc-1002", "doc-2")), "string-id near dup pair missed")
+    val kept = Dedup.dropNearDuplicates(strDocs, "doc_id", "text", threshold = 0.7).count()
+    assert(kept == strDocs.count() - 3)
+  }
+
   test("dropNearDuplicates keeps exactly the min-id representatives") {
     val kept = Dedup.dropNearDuplicates(docsDf, "doc_id", "text", threshold = 0.7)
       .select(col("doc_id"))
