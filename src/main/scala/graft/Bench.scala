@@ -22,6 +22,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 32-way CPU sanity probe: pure-JVM splitmix64 throughput at 1 thread vs
+    // `cpus` threads. On a quiet host the ratio approaches the core count; a
+    // collapsed ratio means co-tenant contention, making a slow bench run
+    // self-diagnosing (this shared host swings 8x run-to-run).
+    def spin(iters: Long, seed: Long): Long = {
+      var z = seed
+      var acc = 0L
+      var i = 0L
+      while (i < iters) {
+        z += 0x9e3779b97f4a7c15L
+        var x = z
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        acc ^= x ^ (x >>> 31)
+        i += 1
+      }
+      acc
+    }
+    val spinIters = 200000000L
+    val t1a = System.nanoTime()
+    val sink1 = spin(spinIters, 1L)
+    val oneThreadSec = (System.nanoTime() - t1a) / 1e9
+    val nThreads = cpus.toInt
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => { val s = spin(spinIters, t + 2L); if (s == 42L) println(s) })
+    }
+    val tNa = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val nThreadSec = (System.nanoTime() - tNa) / 1e9
+    if (sink1 == 42L) println(sink1) // keep the single-thread loop live
+    // each of the N threads does the SAME work as the 1-thread run, so on a
+    // quiet host nThreadSec ~ oneThreadSec and the efficiency ~ 1.0
+    val cpuEff = oneThreadSec / nThreadSec
+
     // engine throughput probe FIRST (clean heap; the query sweep below
     // leaves GC debt that contaminates it): grouped sketch updates over
     // synthesized turn-length features (no I/O), 2x10^8 rows, best of 2
@@ -64,10 +99,24 @@ object Bench {
     // comma-decimal locale would break the driver's JSON parse
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""sketch_update":{"rows":$n,"sec":${num("%.2f", engineBest)},""" +
-        s""""turns_per_sec":${num("%.0f", turnsPerSec)}}}""")
+        s""""turns_per_sec":${num("%.0f", turnsPerSec)}},""" +
+        s""""cpu_probe":{"threads":$nThreads,"one_thread_sec":${num("%.2f", oneThreadSec)},""" +
+        s""""n_thread_sec":${num("%.2f", nThreadSec)},""" +
+        s""""parallel_efficiency":${num("%.3f", cpuEff)}}}"""
+    println(json)
+    // also persist to a file so the round artifact of record stays
+    // machine-readable even when sbt log lines interleave with stdout
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local/BENCH_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch {
+      case e: Exception => System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

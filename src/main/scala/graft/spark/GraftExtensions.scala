@@ -96,9 +96,26 @@ object GraftExtensions {
     require(e.foldable, s"$fn: parameters must be literals")
     e.eval() match {
       case i: java.lang.Integer => i.toInt
-      case l: java.lang.Long    => l.toInt
+      case l: java.lang.Long =>
+        // silent truncation would wrap e.g. hist_sketch_otel(v, 4294967296)
+        // to a wrong small scale; fail analysis instead
+        if (!l.toLong.isValidInt) {
+          throw new IllegalArgumentException(
+            s"$fn: integer literal $l out of Int range")
+        }
+        l.toInt
       case other =>
         throw new IllegalArgumentException(s"$fn: expected an integer literal, got $other")
+    }
+  }
+
+  private def litString(fn: String, e: Expression): String = {
+    require(e.foldable, s"$fn: parameters must be literals")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String                                   => s
+      case other =>
+        throw new IllegalArgumentException(s"$fn: expected a string literal, got $other")
     }
   }
 
@@ -110,11 +127,64 @@ object GraftExtensions {
   /** Expression builders shared by `injectFunction` (new sessions) and
    * [[functions.registerAll]] (existing sessions). */
   private[spark] val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    // scalar sketch queries
-    "hist_quantile" -> expectArgs("hist_quantile", 2)(
-      args => HistQuantile(args(0), Cast(args(1), DoubleType))),
-    "hist_value_at_rank" -> expectArgs("hist_value_at_rank", 2)(
-      args => HistValueAtRank(args(0), Cast(args(1), LongType))),
+    // scalar sketch queries. hist_quantile also takes the estimator-
+    // parameterized forms (sk, p, alphap, betap[, estimator]);
+    // hist_value_at_rank takes (sk, rank[, estimator]).
+    "hist_quantile" -> { args =>
+      args.length match {
+        case 2 => HistQuantile(args(0), Cast(args(1), DoubleType))
+        case 4 | 5 =>
+          val est = if (args.length == 5) litString("hist_quantile", args(4)) else "uniform"
+          HistQuantileParam(
+            args(0),
+            Cast(args(1), DoubleType),
+            litDouble("hist_quantile", args(2)),
+            litDouble("hist_quantile", args(3)),
+            HistParamEval.estimator(est))
+        case n => throw new IllegalArgumentException(
+          s"hist_quantile expects 2, 4 or 5 arguments, got $n")
+      }
+    },
+    "hist_value_at_rank" -> { args =>
+      args.length match {
+        case 2 => HistValueAtRank(args(0), Cast(args(1), LongType))
+        case 3 => HistValueAtRankEst(
+          args(0),
+          Cast(args(1), LongType),
+          HistParamEval.estimator(litString("hist_value_at_rank", args(2))))
+        case n => throw new IllegalArgumentException(
+          s"hist_value_at_rank expects 2 or 3 arguments, got $n")
+      }
+    },
+    // sketch-rewriting scalars: cross-layout re-binning with layout literals
+    // and reference-blob migration (SQL-only users can reach them too)
+    "hist_rebin_log_quadratic" -> expectArgs("hist_rebin_log_quadratic", 5)(args =>
+      HistRebin(args(0), LogQuadraticLayout(
+        litDouble("hist_rebin_log_quadratic", args(1)),
+        litDouble("hist_rebin_log_quadratic", args(2)),
+        litDouble("hist_rebin_log_quadratic", args(3)),
+        litDouble("hist_rebin_log_quadratic", args(4))))),
+    "hist_rebin_log_linear" -> expectArgs("hist_rebin_log_linear", 5)(args =>
+      HistRebin(args(0), LogLinearLayout(
+        litDouble("hist_rebin_log_linear", args(1)),
+        litDouble("hist_rebin_log_linear", args(2)),
+        litDouble("hist_rebin_log_linear", args(3)),
+        litDouble("hist_rebin_log_linear", args(4))))),
+    "hist_rebin_log_optimal" -> expectArgs("hist_rebin_log_optimal", 5)(args =>
+      HistRebin(args(0), LogOptimalLayout(
+        litDouble("hist_rebin_log_optimal", args(1)),
+        litDouble("hist_rebin_log_optimal", args(2)),
+        litDouble("hist_rebin_log_optimal", args(3)),
+        litDouble("hist_rebin_log_optimal", args(4))))),
+    "hist_rebin_otel" -> expectArgs("hist_rebin_otel", 2)(args =>
+      HistRebin(args(0), OtelExponentialLayout(litInt("hist_rebin_otel", args(1))))),
+    "hist_rebin_custom" -> expectArgs("hist_rebin_custom", 2, atLeast = true)(args =>
+      HistRebin(args(0),
+        CustomLayout(args.tail.map(litDouble("hist_rebin_custom", _)).toArray))),
+    "hist_from_reference" -> expectArgs("hist_from_reference", 1)(args =>
+      HistFromReference(args(0))),
+    "hist_to_reference" -> expectArgs("hist_to_reference", 1)(args =>
+      HistToReference(args(0))),
     "hist_quantiles" -> expectArgs("hist_quantiles", 2)(
       args => HistQuantiles(
         args(0),

@@ -140,36 +140,24 @@ object functions {
   def hist_value_at_rank(sketch: Column, rank: Column): Column =
     expressions.HistScalars.valueAtRank(sketch, rank)
 
-  private def valueEstimator(name: String): ValueEstimator = name.toLowerCase match {
-    case "uniform"     => ValueEstimator.Uniform
-    case "lower_bound" => ValueEstimator.LowerBound
-    case "upper_bound" => ValueEstimator.UpperBound
-    case "mid_point"   => ValueEstimator.MidPoint
-    case other => throw new IllegalArgumentException(
-      s"unknown value estimator '$other' (uniform|lower_bound|upper_bound|mid_point)")
-  }
-
   /** Rank-value estimate under an explicit reconstruction policy (reference
    * `getValue(rank, ValueEstimator)`): uniform | lower_bound | upper_bound |
    * mid_point. lower/upper bracket the true order statistic; mid_point
-   * halves the error bounds. */
-  def hist_value_at_rank(sketch: Column, rank: Column, estimator: String): Column = {
-    val est = valueEstimator(estimator)
-    udf((b: Array[Byte], r: Long) => hist(b).valueAt(r, est)).apply(sketch, rank)
-  }
+   * halves the error bounds. Native expression (whole-stage codegen). */
+  def hist_value_at_rank(sketch: Column, rank: Column, estimator: String): Column =
+    expressions.HistParamScalars.valueAtRank(sketch, rank, estimator)
 
   /** Quantile under explicit SciPy plotting positions and value estimator
-   * (reference `getQuantile(p, QuantileEstimator, ValueEstimator)`). */
+   * (reference `getQuantile(p, QuantileEstimator, ValueEstimator)`).
+   * Native expression (whole-stage codegen). */
   def hist_quantile(
       sketch: Column,
       p: Double,
       alphap: Double,
       betap: Double,
-      estimator: String = "uniform"): Column = {
-    val qe = QuantileEstimator(alphap, betap)
-    val ve = valueEstimator(estimator)
-    udf((b: Array[Byte]) => hist(b).quantile(p, qe, ve)).apply(sketch)
-  }
+      estimator: String = "uniform"): Column =
+    expressions.HistParamScalars.quantile(
+      sketch, org.apache.spark.sql.functions.lit(p), alphap, betap, estimator)
 
   def hist_total(sketch: Column): Column =
     expressions.HistScalars.stat(sketch, expressions.HistStat.Total)
@@ -185,28 +173,21 @@ object functions {
   /** Array of (bin_index, cnt, lower, upper) structs; explode() it for rows. */
   def hist_bins(sketch: Column): Column = expressions.HistScalars.bins(sketch)
 
-  /** Lossy re-binning into a different layout. */
-  def hist_rebin(sketch: Column, newLayout: Layout): Column = {
-    val f = udf((b: Array[Byte]) =>
-      SketchEnvelope.toBytes(Histogram(newLayout).add(hist(b))))
-    f(sketch)
-  }
+  /** Lossy re-binning into a different layout — native expression; also
+   * SQL-callable as hist_rebin_log_quadratic/log_linear/log_optimal/otel/
+   * custom with layout literals. */
+  def hist_rebin(sketch: Column, newLayout: Layout): Column =
+    expressions.HistParamScalars.rebin(sketch, newLayout)
 
   /** Converts a histogram blob written by the reference toolchain
    * (`Layout.writeWithTypeInfo` + V1 payload) into this library's sketch
-   * envelope — the column-level migration path for existing data. */
-  val histFromReferenceUdf: UserDefinedFunction =
-    udf((b: Array[Byte]) =>
-      SketchEnvelope.toBytes(ReferenceLayoutSerde.fromBytesWithTypeInfo(b)))
-
-  def hist_from_reference(c: Column): Column = histFromReferenceUdf(c)
+   * envelope — the column-level migration path for existing data. Native
+   * expression; SQL-callable as hist_from_reference. */
+  def hist_from_reference(c: Column): Column = expressions.HistParamScalars.fromReference(c)
 
   /** Inverse of [[hist_from_reference]]: emits blobs the reference
    * toolchain reads back with `Layout.readWithTypeInfo` + V1 read. */
-  val histToReferenceUdf: UserDefinedFunction =
-    udf((b: Array[Byte]) => ReferenceLayoutSerde.toBytesWithTypeInfo(hist(b)))
-
-  def hist_to_reference(c: Column): Column = histToReferenceUdf(c)
+  def hist_to_reference(c: Column): Column = expressions.HistParamScalars.toReference(c)
 
   /** Scalar merge of two sketch columns. */
   val histMerge2Udf: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => {

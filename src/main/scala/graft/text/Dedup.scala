@@ -170,9 +170,15 @@ object Dedup {
 
   /**
    * Corpus deduplication: drops every document that is an exact or verified
-   * near-duplicate (Jaccard >= threshold) of a smaller-id document — i.e.
-   * keeps the greedy min-id representative of each duplicate cluster. The
-   * pair generation is the banded-LSH path above (linear in docs +
+   * near-duplicate (Jaccard >= threshold) of ANY smaller-id document. Note
+   * this is a single-pass rule, not greedy cluster representatives: on a
+   * transitive chain A~B, B~C with A!~C, both B and C are dropped (each has a
+   * smaller-id near-duplicate), whereas iterative greedy selection would keep
+   * C after dropping B. The one-pass rule is deterministic, embarrassingly
+   * parallel, and strictly more aggressive — acceptable for training-data
+   * dedup where over-dropping borderline chain members is the safe side; use
+   * connected-components clustering if exact greedy semantics are required.
+   * The pair generation is the banded-LSH path above (linear in docs +
    * candidates); the removal is a distinct + left-anti join on the id column.
    */
   def dropNearDuplicates(
@@ -213,9 +219,19 @@ object Dedup {
   }
 
   /**
-   * SimHash candidate pairs with Hamming distance <= maxHamming (<= 16):
+   * SimHash candidate pairs with Hamming distance <= maxHamming (<= 3):
    * the 64-bit signature is cut into 4 16-bit blocks; by pigeonhole, any
    * pair within Hamming distance 3 shares at least one exact block.
+   *
+   * Exact duplicates are pre-collapsed to one representative per canonical
+   * fingerprint BEFORE the signature self-join (the same treatment as
+   * [[nearDuplicatePairs]]): identical canonical texts have identical
+   * signatures, so a text duplicated 10^4 times would otherwise put 10^4
+   * identical rows into the same blocks — ~4*C(10^4,2) join rows on one
+   * reducer. Group members are re-expanded afterwards (intra-group pairs
+   * have Hamming distance exactly 0; cross-group member pairs inherit their
+   * representatives' distance); the expansion is linear in the OUTPUT pair
+   * count, which is inherent.
    */
   def simhashCandidates(
       df: DataFrame,
@@ -223,7 +239,17 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole covers Hamming distance <= 3")
-    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    val withFp = df.select(
+      col(idCol).as("id"),
+      fingerprintUdf(col(textCol)).as("fp"),
+      col(textCol).as("text"))
+    // one representative (smallest id) per distinct canonical text
+    val reps = withFp
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("text"))).as("r"))
+      .select(col("fp"), col("r.id").as("id"), col("r.text").as("text"))
+      .localCheckpoint()
+    val sigs = reps.select(col("id"), simhashUdf(col("text")).as("sig"))
     val blocked = sigs.select(
       col("id"),
       col("sig"),
@@ -231,7 +257,7 @@ object Dedup {
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("block", "block_val")))
     val hamming = udf((a: Long, b: Long) => TextFunctions.hammingDistance(a, b))
-    blocked
+    val repPairs = blocked
       .as("a")
       .join(
         blocked.as("b"),
@@ -243,6 +269,25 @@ object Dedup {
         hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val members = withFp.select(col("fp"), col("id")).localCheckpoint()
+    // intra-group pairs: identical canonical text => identical signature
+    val intra = members
+      .as("a")
+      .join(members.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("hamming"))
+    // cross-group pairs: expand each surviving representative pair to all
+    // (member of A) x (member of B) combinations
+    val repFp = reps.select(col("id").as("rid"), col("fp").as("rfp"))
+    val cross = repPairs
+      .join(repFp.as("fa"), col("id_a") === col("fa.rid"))
+      .join(repFp.as("fb"), col("id_b") === col("fb.rid"))
+      .join(members.as("ma"), col("fa.rfp") === col("ma.fp"))
+      .join(members.as("mb"), col("fb.rfp") === col("mb.fp"))
+      .select(
+        least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("hamming"))
+    intra.unionByName(cross)
   }
 
   /**

@@ -349,9 +349,14 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // normalize column names: callers may pass (id, v)-named datasets, and
+    // the seed query below orders by the first column by name
+    val tupled = sample.toDF("_1", "_2").as[(Long, Array[Float])]
     // the bounded sample feeds the seed query plus every Lloyd iteration —
     // cache it so the corpus scan + hash filter run once, not iters+1 times
-    val cached = sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = tupled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try trainOnCached(cached, k, iters, normalize)
     finally cached.unpersist(blocking = false)
   }
@@ -431,18 +436,86 @@ object Similarity {
     dots.sortBy(t => (-t._2, t._1)).take(n).map(_._1)
   }
 
+  /** Trained IVF coarse quantizer: unit centroids plus the per-centroid
+   * sub-split factor that caps inverted-list (bucket) size. */
+  private[text] final case class IvfModel(cents: Array[Array[Double]], splits: Array[Int])
+
+  /** Sub-split factors: bucket b is hash-split into ceil(estSize/max) parts
+   * so one mega-bucket (skewed centroid) can't become one straggler task. */
+  private[text] def bucketSplits(estSizes: Array[Long], maxBucketSize: Int): Array[Int] =
+    estSizes.map(sz => math.max(1L, (sz + maxBucketSize - 1) / maxBucketSize).toInt)
+
+  /** Deterministic sub-bucket of corpus row `id` within bucket `b`. */
+  private[text] def subBucket(id: Long, nSplits: Int): Int =
+    if (nSplits <= 1) 0
+    else java.lang.Math.floorMod(graft.sketches.Hashing.hashLong(id, 0xb0cce7L).toInt, nSplits)
+
+  /**
+   * Trains the IVF coarse quantizer on a deterministic hash-sample (bounded
+   * driver memory at any corpus size) and estimates bucket sizes from the
+   * same sample to derive sub-split factors. With `distributedTraining`,
+   * Lloyd's iterations run as treeAggregates and only the k centroids ever
+   * reach the driver.
+   */
+  private[text] def trainIvfModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Int,
+      sampleSize: Int = 100000,
+      kmeansIters: Int = 10,
+      seed: Long = 17L,
+      distributedTraining: Boolean = false,
+      maxBucketSize: Int = 1 << 20): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val n = df.count()
+    val stride = math.max(1L, n / math.max(1L, sampleSize.toLong)).toInt
+    val sampleDs = ids
+      .filter(pmod(hash(col("id")), lit(stride)) === 0)
+      .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents =
+        if (distributedTraining) trainCentroidsDistributed(sampleDs, centroids, kmeansIters)
+        else {
+          val sample = sampleDs
+            .collect()
+            .sortBy(_._1)
+            .take(sampleSize)
+            .map(_._2.map(_.toDouble))
+          trainCentroids(sample, centroids, kmeansIters, seed)
+        }
+      // bucket sizes estimated from the bounded sample (scaled by stride):
+      // one cheap extra pass over the sample, never over the corpus
+      val bcC = spark.sparkContext.broadcast(cents)
+      val sampleCounts = sampleDs.rdd
+        .map { case (_, vF) => nearestCentroid(bcC.value, vF.map(_.toDouble)) }
+        .countByValue()
+      bcC.destroy()
+      val estSizes = Array.tabulate(cents.length)(b =>
+        sampleCounts.getOrElse(b, 0L) * stride)
+      IvfModel(cents, bucketSplits(estSizes, maxBucketSize))
+    } finally {
+      sampleDs.unpersist(blocking = false)
+    }
+  }
+
   /**
    * IVF approximate top-k, fully distributed: the corpus is bucketed by
    * nearest centroid (a broadcast-centroid map — no shuffle), queries fan out
    * to their `probes` nearest buckets, and a single shuffle on the bucket id
    * co-locates each bucket's inverted list with the queries probing it; each
-   * bucket task builds its list in memory (~corpus/centroids rows) and
-   * streams its queries through a bounded top-k heap. Per-query partial
-   * top-ks (<= probes*k rows each) are then merged by query id. Nothing
-   * corpus-sized ever reaches the driver: only the k-means training sample
-   * (a deterministic hash-sample capped at `sampleSize`) is collected. Scan
-   * fraction ~ probes/centroids. Returns (query_id, neighbor_id, cosine,
-   * rank); ties broken by ascending neighbor id.
+   * bucket task builds its list in memory (~corpus/centroids rows, capped at
+   * ~`maxBucketSize` by hash sub-splitting skewed buckets — queries probe all
+   * sub-buckets of a probed bucket, so the candidate set is identical to the
+   * unsplit plan) and streams its queries through a bounded top-k heap.
+   * Per-query partial top-ks (<= probes*k rows each) are then merged by query
+   * id. Nothing corpus-sized ever reaches the driver: only the k-means
+   * training sample (a deterministic hash-sample capped at `sampleSize`) is
+   * collected. Scan fraction ~ probes/centroids. Returns (query_id,
+   * neighbor_id, cosine, rank); ties broken by ascending neighbor id.
    */
   def ivfCosineTopK(
       df: DataFrame,
@@ -454,43 +527,36 @@ object Similarity {
       sampleSize: Int = 100000,
       kmeansIters: Int = 10,
       seed: Long = 17L,
-      distributedTraining: Boolean = false): DataFrame = {
+      distributedTraining: Boolean = false,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    // deterministic hash-sample for the coarse quantizer: bounded driver
-    // memory regardless of corpus size
-    val n = df.count()
-    val stride = math.max(1L, n / math.max(1L, sampleSize.toLong)).toInt
-    val sampleDs = ids
-      .filter(pmod(hash(col("id")), lit(stride)) === 0)
-      .as[(Long, Array[Float])]
-    // with distributedTraining, Lloyd's iterations run as treeAggregates and
-    // only k centroids ever reach the driver; otherwise the (bounded) sample
-    // is collected and trained driver-side
-    val cents =
-      if (distributedTraining) trainCentroidsDistributed(sampleDs, centroids, kmeansIters)
-      else {
-        val sample = sampleDs
-          .collect()
-          .sortBy(_._1)
-          .take(sampleSize)
-          .map(_._2.map(_.toDouble))
-        trainCentroids(sample, centroids, kmeansIters, seed)
-      }
+    val model = trainIvfModel(
+      df, idCol, vecCol, centroids, sampleSize, kmeansIters, seed,
+      distributedTraining, maxBucketSize)
+    val cents = model.cents
     val nProbes = math.min(probes, cents.length)
     val bcCents = spark.sparkContext.broadcast(cents)
+    val bcSplits = spark.sparkContext.broadcast(model.splits)
 
-    // corpus rows tagged with their (single) home bucket — map-only
+    // corpus rows tagged with their (single) home (bucket, sub-bucket) — map-only
     val corpusB = ids.as[(Long, Array[Float])].mapPartitions { it =>
       val cs = bcCents.value
-      it.map { case (id, vF) => (nearestCentroid(cs, vF.map(_.toDouble)), id, vF) }
+      val sp = bcSplits.value
+      it.map { case (id, vF) =>
+        val b = nearestCentroid(cs, vF.map(_.toDouble))
+        ((b, subBucket(id, sp(b))), id, vF)
+      }
     }
-    // queries fan out to their nProbes nearest buckets — map-only
+    // queries fan out to every sub-bucket of their nProbes nearest buckets —
+    // map-only; sub-splitting changes task granularity, not the candidate set
     val queriesP = ids.as[(Long, Array[Float])].mapPartitions { it =>
       val cs = bcCents.value
+      val sp = bcSplits.value
       it.flatMap { case (id, vF) =>
-        topCentroids(cs, vF.map(_.toDouble), nProbes).map(b => (b, id, vF))
+        topCentroids(cs, vF.map(_.toDouble), nProbes).flatMap(b =>
+          (0 until sp(b)).map(s => ((b, s), id, vF)))
       }
     }
     // one shuffle on bucket id; per-bucket inverted list + streamed queries
@@ -553,5 +619,31 @@ object Similarity {
         out.iterator
       }
       .toDF("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Per-(bucket, sub-bucket) corpus row counts under a trained model — the
+   * observable the bucket-size cap bounds (test/diagnostic helper; the
+   * result is at most centroids x splits entries). */
+  private[text] def corpusBucketCounts(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel): Map[(Int, Int), Long] = {
+    val spark = df.sparkSession
+    val bcC = spark.sparkContext.broadcast(model.cents)
+    val bcS = spark.sparkContext.broadcast(model.splits)
+    val counts = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .rdd
+      .map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val b = nearestCentroid(bcC.value, v)
+        (b, subBucket(id, bcS.value(b)))
+      }
+      .countByValue()
+    bcC.destroy()
+    bcS.destroy()
+    counts.toMap
   }
 }

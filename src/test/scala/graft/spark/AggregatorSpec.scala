@@ -274,4 +274,32 @@ class AggregatorSpec extends AnyFunSuite {
     val exact = expanded.groupBy(identity).view.mapValues(_.size.toLong)
     exact.foreach { case (item, n) => assert(cm.estimateString(item) >= n) }
   }
+
+  test("KLL merge: rank bounds are partition-invariant even when bytes are not") {
+    // The KLL compaction schedule depends on merge interleaving (the coin
+    // state merges XOR-commutatively, but compress timing is order-
+    // sensitive), so sketch BYTES at 1 vs 32 partitions may legitimately
+    // differ. What IS invariant — and what this test pins down — is the
+    // normalized rank guarantee, which holds under ANY merge tree.
+    // Documented in SURVEY.md §2.1b.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new java.util.SplittableRandom(13L)
+    val vs = Array.fill(60000)(rnd.nextDouble() * 1e6)
+    val sorted = vs.sorted
+    val df = vs.toSeq.toDF("v")
+    for (parts <- Seq(1, 32)) {
+      val bytes = df
+        .repartition(parts)
+        .agg(kll_sketch(col("v"), 200))
+        .collect()(0)
+        .getAs[Array[Byte]](0)
+      val k = graft.sketches.Kll.fromBytes(bytes)
+      for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+        val est = k.quantile(p)
+        val rank = sorted.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - p) <= 0.015, s"parts=$parts p=$p rank=$rank")
+      }
+    }
+  }
 }

@@ -205,6 +205,79 @@ class ExpressionSpec extends AnyFunSuite {
     customRows.foreach(r => assert(r.getInt(1) == cl.mapToBinIndex(r.getDouble(0))))
   }
 
+  test("estimator-parameterized native expressions agree with the kernel and stay in codegen") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(91L)
+    val vs = Array.fill(10000)(rnd.nextDouble(0.5, 9e5))
+    val kernel = graft.core.Histogram(layout)
+    vs.foreach(kernel.addValue(_))
+    val rank = vs.length / 3L
+    val df = vs.toSeq
+      .toDF("v")
+      .repartition(4)
+      .agg(hist_sketch(col("v"), layout).as("sk"))
+      .select(
+        hist_value_at_rank(col("sk"), lit(rank), "uniform").as("v_u"),
+        hist_value_at_rank(col("sk"), lit(rank), "lower_bound").as("v_lo"),
+        hist_value_at_rank(col("sk"), lit(rank), "upper_bound").as("v_up"),
+        hist_value_at_rank(col("sk"), lit(rank), "mid_point").as("v_mid"),
+        hist_quantile(col("sk"), 0.5, 0.4, 0.4, "uniform").as("q_def"),
+        hist_quantile(col("sk"), 0.9, 0.3, 0.7, "mid_point").as("q_m"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == kernel.valueAt(rank, ValueEstimator.Uniform))
+    assert(r.getDouble(1) == kernel.valueAt(rank, ValueEstimator.LowerBound))
+    assert(r.getDouble(2) == kernel.valueAt(rank, ValueEstimator.UpperBound))
+    assert(r.getDouble(3) == kernel.valueAt(rank, ValueEstimator.MidPoint))
+    assert(r.getDouble(1) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(2))
+    assert(r.getDouble(4) ==
+      kernel.quantile(0.5, QuantileEstimator(0.4, 0.4), ValueEstimator.Uniform))
+    assert(r.getDouble(4) == kernel.quantile(0.5)) // default plotting positions
+    assert(r.getDouble(5) ==
+      kernel.quantile(0.9, QuantileEstimator(0.3, 0.7), ValueEstimator.MidPoint))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      plan.linesIterator.exists(l => l.contains("*(") && l.contains("hist_value_at_rank")),
+      s"estimator-parameterized expression not inside a codegen stage:\n$plan")
+  }
+
+  test("SQL surface: estimator overloads, rebin, and reference migration functions") {
+    functions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(83L)
+    val vs = Array.fill(6000)(rnd.nextDouble(1.0, 5e5))
+    vs.toSeq.toDF("v").createOrReplaceTempView("sql_vals3")
+    val srcLayout = LogQuadraticLayout(1e-3, 1e-2, 0, 1e6)
+    val kernel = graft.core.Histogram(srcLayout)
+    vs.foreach(kernel.addValue(_))
+    val r = spark
+      .sql("""SELECT hist_value_at_rank(sk, 10, 'mid_point') AS v_mid,
+                     hist_quantile(sk, 0.5, 0.4, 0.4) AS q4,
+                     hist_quantile(sk, 0.5, 0.3, 0.7, 'mid_point') AS q5,
+                     hist_total(hist_from_reference(hist_to_reference(sk))) AS n_rt,
+                     hist_total(hist_rebin_custom(sk, 10.0, 1000.0)) AS n_rb,
+                     hist_underflow(hist_rebin_custom(sk, 10.0, 1000.0)) AS uf_rb,
+                     hist_total(hist_rebin_log_linear(sk, 1e-2, 1e-1, 0.0, 1e6)) AS n_rb2,
+                     hist_total(hist_rebin_otel(sk, 2)) AS n_rb3
+              FROM (SELECT hist_sketch_log_quadratic(v, 1e-3, 1e-2, 0.0, 1e6) AS sk
+                    FROM sql_vals3)""")
+      .collect()(0)
+    assert(r.getDouble(0) == kernel.valueAt(10L, ValueEstimator.MidPoint))
+    assert(r.getDouble(1) ==
+      kernel.quantile(0.5, QuantileEstimator(0.4, 0.4), ValueEstimator.Uniform))
+    assert(r.getDouble(2) ==
+      kernel.quantile(0.5, QuantileEstimator(0.3, 0.7), ValueEstimator.MidPoint))
+    assert(r.getLong(3) == vs.length.toLong)
+    val rebinned = graft.core.Histogram(CustomLayout(10.0, 1000.0)).add(kernel)
+    assert(r.getLong(4) == vs.length.toLong)
+    assert(r.getLong(5) == rebinned.underflowCount)
+    assert(r.getLong(6) == vs.length.toLong && r.getLong(7) == vs.length.toLong)
+    // out-of-range integer literal fails analysis instead of wrapping
+    val err = intercept[Exception] {
+      spark.sql("SELECT hist_sketch_otel(v, 4294967296) FROM sql_vals3").collect()
+    }
+    assert(err.getMessage.contains("out of Int range"), err.getMessage)
+  }
+
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {
     import spark.implicits._
     // 20k groups >> spark.sql.objectHashAggregate.sortBased.fallbackThreshold

@@ -111,6 +111,35 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(intra >= 300L * 299L / 2, s"intra-group dup pairs missing: $intra")
   }
 
+  test("simhash: exact-dup pre-collapse keeps the signature self-join linear") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(57L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    val hot = randText(100)
+    // one text duplicated 10^4 times — the signature self-join would put 10^4
+    // identical rows into the same 4 blocks (~4*C(10^4,2) join rows on one
+    // reducer) without the representative collapse
+    val dups = (0 until 10000).map(i => (100000L + i, hot))
+    val uniques = (0 until 200).map(i => (i.toLong, randText(100)))
+    val df = (uniques ++ dups).toDF("doc_id", "text")
+    // cross-group candidates (hamming > 0) come from the collapsed
+    // representative join: bounded by representative collisions, independent
+    // of the duplication factor (the hamming=0 branch is pruned by the
+    // constant-folded filter, so this runs without materializing the
+    // inherent C(10^4,2) intra-group output)
+    val cross = Dedup.simhashCandidates(df, "doc_id", "text")
+      .filter(col("hamming") > 0)
+      .count()
+    assert(cross <= 10 * 201, s"cross-group candidates not O(n): $cross")
+    // end-to-end at a smaller duplication factor: intra-group pairs are
+    // complete (hamming 0) and exact-dup pairs survive the collapse
+    val df2 = (uniques ++ dups.take(100)).toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(df2, "doc_id", "text")
+    val intra = cands.filter(col("hamming") === 0).count()
+    assert(intra >= 100L * 99L / 2, s"intra-group dup pairs missing: $intra")
+  }
+
   test("sampled brute-force truth: pair-preserving, threshold-correct, full below cap") {
     import spark.implicits._
     val rnd = new java.util.SplittableRandom(41L)
@@ -288,6 +317,38 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(approx == run(), "distributed-training IVF must be deterministic")
     val recall = exact.count { case (q, nb) => approx.get(q).contains(nb) }.toDouble / exact.size
     assert(recall >= 0.6, s"IVF (distributed training) top-1 recall $recall")
+  }
+
+  test("IVF bucket-size cap splits skewed buckets without changing results") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(99L)
+    val dim = 16
+    // heavily skewed corpus: one tight cluster holds 300 of 370 points, so
+    // at most 4 centroids some bucket must exceed the cap of 50
+    val hotCenter = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val others = Array.fill(7, dim)(rnd.nextGaussian().toFloat)
+    val rows =
+      (0 until 300).map(i =>
+        (i.toLong, hotCenter.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)) ++
+        (0 until 70).map(i =>
+          ((1000 + i).toLong, others(i % 7).map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.trainIvfModel(
+      df, "vec_id", "embedding", centroids = 4, maxBucketSize = 50)
+    assert(model.splits.exists(_ > 1), s"skewed bucket not split: ${model.splits.toSeq}")
+    val counts = Similarity.corpusBucketCounts(df, "vec_id", "embedding", model)
+    assert(counts.values.max <= 100,
+      s"sub-bucket exceeded 2x cap: ${counts.values.max} (counts=$counts)")
+    // sub-splitting changes task granularity, not the candidate set: the
+    // capped run must be identical to the uncapped one
+    def run(cap: Int) = Similarity
+      .ivfCosineTopK(df, "vec_id", "embedding", k = 2, centroids = 4, probes = 2,
+        maxBucketSize = cap)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(run(50) == run(1 << 20), "sub-splitting changed the result set")
   }
 
   test("LSH ANN achieves >=80% top-1 recall vs brute force") {
