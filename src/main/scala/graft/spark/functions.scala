@@ -268,11 +268,27 @@ object functions {
       udaf(new Aggs.HistogramAgg(defaultLayout), Encoders.DOUBLE))
     spark.udf.register("hist_merge", udaf(new Aggs.HistogramMergeAgg, Encoders.BINARY))
     spark.udf.register(
+      "hist_sketch_weighted",
+      udaf(
+        new Aggs.HistogramWeightedAgg(defaultLayout),
+        Encoders.tuple(Encoders.DOUBLE, Encoders.LONG)))
+    spark.udf.register(
       "hll_sketch",
       udaf(new Aggs.HllStringAgg(Hll.DefaultPrecision), Encoders.STRING))
     spark.udf.register("cms_sketch", udaf(new Aggs.CountMinAgg(5, 2048), Encoders.STRING))
+    spark.udf.register(
+      "cms_sketch_weighted",
+      udaf(
+        new Aggs.CountMinWeightedAgg(5, 2048),
+        Encoders.tuple(Encoders.STRING, Encoders.LONG)))
     spark.udf.register("tdigest_sketch", udaf(new Aggs.TDigestAgg(100.0), Encoders.DOUBLE))
     spark.udf.register("kll_sketch", udaf(new Aggs.KllAgg(200), Encoders.DOUBLE))
+    // two-level rollup re-aggregators over stored sketch byte columns
+    spark.udf.register("hll_merge", udaf(new Aggs.HllMergeAgg, Encoders.BINARY))
+    spark.udf.register("cms_merge", udaf(new Aggs.CountMinMergeAgg, Encoders.BINARY))
+    spark.udf.register("bloom_merge", udaf(new Aggs.BloomMergeAgg, Encoders.BINARY))
+    spark.udf.register("tdigest_merge", udaf(new Aggs.TDigestMergeAgg, Encoders.BINARY))
+    spark.udf.register("kll_merge", udaf(new Aggs.KllMergeAgg, Encoders.BINARY))
     spark.udf.register("hll_estimate", hllEstimateUdf)
     spark.udf.register("cms_estimate", cmsEstimateUdf)
     spark.udf.register("tdigest_quantile", tdigestQuantileUdf)

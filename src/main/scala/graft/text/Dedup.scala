@@ -177,7 +177,8 @@ object Dedup {
    * C after dropping B. The one-pass rule is deterministic, embarrassingly
    * parallel, and strictly more aggressive — acceptable for training-data
    * dedup where over-dropping borderline chain members is the safe side; use
-   * connected-components clustering if exact greedy semantics are required.
+   * [[dropNearDuplicatesClustered]] for one-representative-per-transitive-
+   * cluster semantics (connected components).
    * The pair generation is the banded-LSH path above (linear in docs +
    * candidates); the removal is a distinct + left-anti join on the id column.
    */
@@ -193,6 +194,90 @@ object Dedup {
       .select(col("id_b").as("__drop_id"))
       .distinct()
     df.join(toDrop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /**
+   * Near-duplicate CLUSTER assignment: connected components over the
+   * verified near-duplicate pair graph. Returns (id, cluster_id) for every
+   * document, where cluster_id is the smallest id in the document's
+   * transitive near-duplicate cluster (singletons map to themselves).
+   * This is the third — and strongest — dedup semantics next to
+   * [[dropExactDuplicates]] and the one-pass [[dropNearDuplicates]]:
+   * one representative per transitive cluster, the usual choice for
+   * training-corpus dedup pipelines.
+   */
+  def nearDuplicateClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol).as("id")), pairs)
+  }
+
+  /** Keeps exactly one document (the smallest id) per transitive
+   * near-duplicate cluster. */
+  def dropNearDuplicatesClustered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val toDrop =
+      nearDuplicateClusters(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("__drop_id"))
+    df.join(toDrop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /**
+   * Distributed connected components by iterative min-label propagation:
+   * every node repeatedly adopts the minimum label among itself and its
+   * neighbors until fixpoint — O(component diameter) rounds (near-duplicate
+   * clusters are shallow), each round one equi-join on the 8-byte id plus a
+   * min-aggregation; lineage is truncated per round. Nothing graph-sized
+   * ever reaches the driver. Nodes: (id); edges: (id_a, id_b), undirected.
+   * Returns (id, cluster_id = component minimum).
+   */
+  private[text] def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes
+      .select(col("id"), col("id").as("label"))
+      .distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(
+          col("id"),
+          col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      it += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxIters rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** LSH candidates over (id, text), verified by sorted-shingle merge. */

@@ -276,6 +276,20 @@ class ExpressionSpec extends AnyFunSuite {
       spark.sql("SELECT hist_sketch_otel(v, 4294967296) FROM sql_vals3").collect()
     }
     assert(err.getMessage.contains("out of Int range"), err.getMessage)
+    // weighted aggregate and rollup re-aggregators are SQL-callable
+    val r4 = spark
+      .sql("SELECT hist_total(hist_sketch_weighted(v, 3)) AS n FROM sql_vals3")
+      .collect()(0)
+    assert(r4.getLong(0) == 3L * vs.length)
+    val r5 = spark
+      .sql("""SELECT hll_merge(sk) AS merged,
+                     (SELECT hll_sketch(CAST(CAST(v AS INT) AS STRING)) FROM sql_vals3)
+                       AS direct
+              FROM (SELECT hll_sketch(CAST(CAST(v AS INT) AS STRING)) AS sk
+                    FROM sql_vals3 GROUP BY CAST(v AS INT) % 8)""")
+      .collect()(0)
+    assert(java.util.Arrays.equals(r5.getAs[Array[Byte]](0), r5.getAs[Array[Byte]](1)),
+      "SQL two-level hll_merge rollup must be byte-identical to the direct sketch")
   }
 
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {

@@ -31,6 +31,29 @@ class PlanAndParitySpec extends AnyFunSuite {
       s"scan not pruned: $readSchema")
   }
 
+  test("weighted sketch and rollup driver queries prune their parquet scans") {
+    // q26: weighted aggregation reads exactly (value, weight)
+    val q26 = graft.SparkEntry.queries("q26_weighted_hist")(spark, sf)
+    val rs26 = q26.queryExecution.sparkPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs26.contains("l_extendedprice") && rs26.contains("l_linenumber"))
+    assert(!rs26.contains("l_quantity") && !rs26.contains("l_orderkey"),
+      s"q26 scan not pruned: $rs26")
+    // q27's level-1 sketch table reads only the five sketched columns
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val partials = li
+      .groupBy(col("l_linestatus"))
+      .agg(
+        hist_sketch(col("l_extendedprice"), layout),
+        hll_sketch_long(col("l_partkey")),
+        cms_sketch(col("l_returnflag")))
+    val rs27 = partials.queryExecution.sparkPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs27.contains("l_partkey") && rs27.contains("l_linestatus"))
+    assert(!rs27.contains("l_quantity") && !rs27.contains("l_discount"),
+      s"q27 scan not pruned: $rs27")
+  }
+
   test("filters push down to the parquet scan below the sketch aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val plan = li

@@ -111,6 +111,36 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(intra >= 300L * 299L / 2, s"intra-group dup pairs missing: $intra")
   }
 
+  test("connected components + clustered dedup keep one doc per transitive cluster") {
+    import spark.implicits._
+    // CC kernel: two components + isolated nodes
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // transitive chain T1~T2, T2~T3, T1 !~ T3 (1-gram jaccard 0.818/0.818/0.667)
+    def text(lo: Int): String = (lo until lo + 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text(0)), (2L, text(10)), (3L, text(20)), (9L, text(5000)))
+      .toDF("doc_id", "text")
+    val clusters = Dedup
+      .nearDuplicateClusters(docs, "doc_id", "text", threshold = 0.75, shingleK = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L),
+      s"chain not clustered transitively: $clusters")
+    val kept = Dedup
+      .dropNearDuplicatesClustered(docs, "doc_id", "text", threshold = 0.75, shingleK = 1)
+      .select(col("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(kept == Set(1L, 9L), s"clustered dedup kept $kept")
+  }
+
   test("simhash: exact-dup pre-collapse keeps the signature self-join linear") {
     import spark.implicits._
     val rnd = new java.util.SplittableRandom(57L)
