@@ -775,6 +775,46 @@ object SparkEntry {
         new Directory(new java.io.File(tmp)).deleteRecursively()
       }
     },
+    // 29. transitive near-duplicate clustering: connected components over
+    //     the verified MinHash-LSH pair graph (iterative min-label
+    //     propagation, equi-joins on 8-byte ids only), one representative
+    //     (the min doc_id) kept per cluster — the usual training-corpus
+    //     dedup semantics. Checks: the representative is the cluster
+    //     minimum, exact duplicates (identical canonical text) always share
+    //     a cluster, the clustered drop keeps exactly one doc per cluster,
+    //     and the cluster count is bounded by the distinct-canonical-text
+    //     count (which the oracle re-derives the doc count against).
+    "q29_dedup_clustered" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val clusters = graft.text.Dedup
+        .nearDuplicateClusters(docs, "doc_id", "text", threshold = 0.8)
+        .localCheckpoint()
+      val nDocs = clusters.count()
+      val nClusters =
+        clusters.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0)
+      val repOk = clusters
+        .groupBy(col("cluster_id"))
+        .agg(min(col("id")).as("mn"))
+        .filter(col("mn") =!= col("cluster_id"))
+        .isEmpty
+      val exactDupsOk = docs
+        .select(col("doc_id"), graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
+        .join(clusters, col("doc_id") === col("id"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("cluster_id")).as("nc"))
+        .filter(col("nc") > 1)
+        .isEmpty
+      val nUnique = docs
+        .select(countDistinct(graft.text.Dedup.fingerprintUdf(col("text"))))
+        .collect()(0)
+        .getLong(0)
+      val kept = graft.text.Dedup
+        .dropNearDuplicatesClustered(docs, "doc_id", "text", threshold = 0.8)
+        .count()
+      import s.implicits._
+      Seq((nDocs, repOk, exactDupsOk, kept == nClusters, nClusters <= nUnique))
+        .toDF("n_docs", "rep_ok", "exact_dups_ok", "kept_ok", "clusters_le_unique")
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -950,6 +990,10 @@ object SparkEntry {
                 count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                   AS n_distinct_fp,
                 0 AS any_null_pred
+         FROM documents""",
+    "q29_dedup_clustered" ->
+      """SELECT count(*) AS n_docs, true AS rep_ok, true AS exact_dups_ok,
+                true AS kept_ok, true AS clusters_le_unique
          FROM documents"""
   )
 }
