@@ -204,10 +204,17 @@ object Scaling {
       "pipeline", tLow1, lowCpus, math.min(pipeLow1, pipeLow2),
       highCpus, math.min(pipeHigh1, pipeHigh2))
 
-    println(
+    val json =
       s"""{"metric":"scaling_efficiency","value":${String.format(
           java.util.Locale.ROOT, "%.4f", Double.box(engEff))},"unit":"ratio",""" +
-        s"$engJson,$pipeJson}")
+        s"$engJson,$pipeJson}"
+    println(json)
+    // artifact of record survives log interleaving (same contract as Bench)
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "bench_local/SCALING_last.json")
+    val p = java.nio.file.Paths.get(outPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
     import scala.reflect.io.Directory
     new Directory(new java.io.File(tmp)).deleteRecursively()
   }

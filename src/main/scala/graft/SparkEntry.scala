@@ -815,6 +815,41 @@ object SparkEntry {
       Seq((nDocs, repOk, exactDupsOk, kept == nClusters, nClusters <= nUnique))
         .toDF("n_docs", "rep_ok", "exact_dups_ok", "kept_ok", "clusters_le_unique")
     },
+    // 30. embedding near-duplicates: sign-LSH candidate generation + exact
+    //     cosine verification over the embeddings table augmented with
+    //     deterministic duplicates — an exact copy and a 2x-scaled copy of
+    //     every 5th vector (cosine is scale-invariant; power-of-two scaling
+    //     is exact in float, so the scaled copy's sign-LSH signature is
+    //     bit-identical to the original's in every table). All planted
+    //     pairs must be found, and nothing else clears the 0.95 threshold
+    //     (max natural pairwise cosine in this table is ~0.6), so the
+    //     found-pair count is exactly 3 per planted id — both counts are
+    //     re-derived independently by the oracle.
+    "q30_embedding_neardup" -> { (s, dir) =>
+      val base = table(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      val dupIds = base.filter(col("id") % 5 === 0)
+      val exactCopy = dupIds.select((col("id") + 1000000L).as("id"), col("embedding"))
+      val scaledCopy = dupIds.select(
+        (col("id") + 2000000L).as("id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val corpus = base.unionByName(exactCopy).unionByName(scaledCopy)
+      val found = graft.text.Dedup
+        .embeddingNearDuplicates(corpus, "id", "embedding", threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val planted = dupIds
+        .select(col("id"))
+        .collect()
+        .map(_.getLong(0))
+        .flatMap(i => Seq((i, i + 1000000L), (i, i + 2000000L), (i + 1000000L, i + 2000000L)))
+        .toSet
+      import s.implicits._
+      Seq((corpus.count(), found.size.toLong, planted.subsetOf(found), found == planted))
+        .toDF("n_vecs", "n_pairs", "all_planted_found", "only_planted")
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -994,6 +1029,13 @@ object SparkEntry {
     "q29_dedup_clustered" ->
       """SELECT count(*) AS n_docs, true AS rep_ok, true AS exact_dups_ok,
                 true AS kept_ok, true AS clusters_le_unique
-         FROM documents"""
+         FROM documents""",
+    "q30_embedding_neardup" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings)
+                  + 2 * (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
+                  AS BIGINT) AS n_vecs,
+                CAST(3 * (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
+                  AS BIGINT) AS n_pairs,
+                true AS all_planted_found, true AS only_planted"""
   )
 }
