@@ -786,8 +786,14 @@ object SparkEntry {
     //     count (which the oracle re-derives the doc count against).
     "q29_dedup_clustered" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
+      // the pair graph is the expensive part — computed ONCE and shared by
+      // clustering and the representative drop (the 100 TB usage pattern)
+      val pairs = graft.text.Dedup
+        .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val clusters = graft.text.Dedup
-        .nearDuplicateClusters(docs, "doc_id", "text", threshold = 0.8)
+        .clustersFromPairs(docs, "doc_id", pairs)
         .localCheckpoint()
       val nDocs = clusters.count()
       val nClusters =
@@ -809,7 +815,7 @@ object SparkEntry {
         .collect()(0)
         .getLong(0)
       val kept = graft.text.Dedup
-        .dropNearDuplicatesClustered(docs, "doc_id", "text", threshold = 0.8)
+        .keepClusterRepresentatives(docs, "doc_id", clusters)
         .count()
       import s.implicits._
       Seq((nDocs, repOk, exactDupsOk, kept == nClusters, nClusters <= nUnique))

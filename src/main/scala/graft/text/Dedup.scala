@@ -215,8 +215,28 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
-      .select(col("id_a"), col("id_b"))
-    connectedComponents(df.select(col(idCol).as("id")), pairs)
+    clustersFromPairs(df, idCol, pairs)
+  }
+
+  /** Connected components over a PRECOMPUTED (id_a, id_b) near-duplicate
+   * pair graph — compute the pair graph once (it is the expensive part) and
+   * reuse it for clustering, dropping, and reporting. Returns
+   * (id, cluster_id = min id of the transitive cluster). */
+  def clustersFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(
+      df.select(col(idCol).as("id")),
+      pairs.select(col("id_a"), col("id_b")))
+
+  /** Keeps the representative (min-id) document of each cluster given a
+   * precomputed (id, cluster_id) assignment from [[clustersFromPairs]]. */
+  def keepClusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val reps = clusters
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("__rep_id"))
+    df.join(reps, col(idCol) === col("__rep_id"), "left_semi")
   }
 
   /** Keeps exactly one document (the smallest id) per transitive
@@ -228,13 +248,11 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
-    val toDrop =
-      nearDuplicateClusters(df, idCol, textCol, threshold, numHashes, bands, shingleK)
-        .filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as("__drop_id"))
-    df.join(toDrop, col(idCol) === col("__drop_id"), "left_anti")
-  }
+      shingleK: Int = 3): DataFrame =
+    keepClusterRepresentatives(
+      df,
+      idCol,
+      nearDuplicateClusters(df, idCol, textCol, threshold, numHashes, bands, shingleK))
 
   /**
    * Distributed connected components by iterative min-label propagation:
@@ -386,8 +404,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 8,
-      tables: Int = 12): DataFrame =
+      planes: Int = 16,
+      tables: Int = 40): DataFrame =
     Similarity
       .signLshCandidatePairs(df, idCol, vecCol, planes, tables)
       .filter(col("cosine") >= threshold)

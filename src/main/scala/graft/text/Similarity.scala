@@ -200,19 +200,34 @@ object Similarity {
    * Sign-LSH candidate pairs (undirected, id_a < id_b) scored with exact
    * cosine — the linear-cost candidate generator behind embedding
    * near-duplicate detection. Only ids + 32-bit signatures shuffle.
+   *
+   * Default geometry (16 planes x 40 tables) is tuned for CLUSTERED
+   * corpora: per-table collision probability is (1 - acos(c)/pi)^planes, so
+   * at 16 planes a true near-dup pair (cosine 0.95) collides somewhere with
+   * probability ~0.9996 (~0.97 at 0.9), while a merely-correlated pair at
+   * cosine 0.6 — the body of an embedding cluster — collides in only ~6% of
+   * the corpus. Coarser geometry (8 planes) degenerates to near-all-pairs
+   * candidates on clustered data: the bucket join, not the verification,
+   * is then the quadratic cost.
    */
   def signLshCandidatePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int = 8,
-      tables: Int = 12,
+      planes: Int = 16,
+      tables: Int = 40,
       seed: Long = 7L): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(tables, planes, dim, seed)
     val sigUdf = signatureUdf(hp)
-    val sigs =
-      df.select(col(idCol).as("id"), col(vecCol).as("v"), sigUdf(col(vecCol)).as("sigs"))
+    // the compact (id, sigs) table is MATERIALIZED once: exploding directly
+    // over the UDF inlines it into the Generate, re-evaluating the whole
+    // `tables x planes x dim` signature per OUTPUT row (measured `tables`-x
+    // slower), and the self-join + vector joins would recompute it 4x more.
+    // ~8B x tables per row — smaller than the bucket shuffle it feeds.
+    val sigs = df
+      .select(col(idCol).as("id"), sigUdf(col(vecCol)).as("sigs"))
+      .localCheckpoint()
     val buckets = sigs.select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
     val cands = buckets
       .as("a")
@@ -222,7 +237,7 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val vecs = sigs.select(col("id"), col("v"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     cands
       .join(vecs.as("qa"), col("id_a") === col("qa.id"))
       .join(vecs.as("qb"), col("id_b") === col("qb.id"))
