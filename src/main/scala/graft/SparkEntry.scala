@@ -856,6 +856,21 @@ object SparkEntry {
       Seq((corpus.count(), found.size.toLong, planted.subsetOf(found), found == planted))
         .toDF("n_vecs", "n_pairs", "all_planted_found", "only_planted")
     },
+    // 31. exact n-gram (word 3-shingle) Jaccard pairs over a bounded
+    //     deterministic sample — the ground-truth-baseline API
+    //     (broadcast shingle table, per-partition sorted-array merges, no
+    //     join skew). STRONG oracle: DuckDB re-derives the identical pair
+    //     list and jaccard values from the same canonical 3-shingle sets
+    //     (shingle-hash jaccard == shingle-string jaccard for a
+    //     collision-free corpus, and the division of two small ints is
+    //     bit-identical across engines).
+    "q31_ngram_jaccard" -> { (s, dir) =>
+      val sample = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0 && length(trim(col("text"))) > 0)
+      graft.text.Dedup
+        .jaccardPairsAboveBroadcast(sample, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -1042,6 +1057,27 @@ object SparkEntry {
                   AS BIGINT) AS n_vecs,
                 CAST(3 * (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
                   AS BIGINT) AS n_pairs,
-                true AS all_planted_found, true AS only_planted"""
+                true AS all_planted_found, true AS only_planted""",
+    "q31_ngram_jaccard" ->
+      """WITH canon AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents
+           WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(
+                              [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)])
+                  END AS s
+           FROM canon),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""
   )
 }
