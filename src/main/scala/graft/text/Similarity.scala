@@ -33,11 +33,15 @@ object Similarity {
 
   /** Cosine as a compiled UDF — same double math as [[cosine]] but without
    * per-row array materialization; used on candidate pairs in the ANN paths. */
-  private[text] val fastCosineUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+  private[text] val fastCosineUdf = udf((aSeq: Seq[Float], bSeq: Seq[Float]) => {
+    val len = math.min(aSeq.length, bSeq.length)
+    val a = new Array[Float](len)
+    val b = new Array[Float](len)
+    var j = 0
+    while (j < len) { a(j) = aSeq(j); b(j) = bSeq(j); j += 1 }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
-    val len = math.min(a.length, b.length)
     var i = 0
     while (i < len) {
       val x = a(i).toDouble
@@ -220,12 +224,20 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(tables, planes, dim, seed)
     val sigUdf = signatureUdf(hp)
+    // a small parquet file arrives as 1-2 partitions: the signature pass
+    // (the CPU-heavy part) would then run on one core. Widen only when
+    // narrower than the cluster default — at scale the input is already
+    // wide and no shuffle is added.
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val input =
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
     // the compact (id, sigs) table is MATERIALIZED once: exploding directly
     // over the UDF inlines it into the Generate, re-evaluating the whole
     // `tables x planes x dim` signature per OUTPUT row (measured `tables`-x
     // slower), and the self-join + vector joins would recompute it 4x more.
     // ~8B x tables per row — smaller than the bucket shuffle it feeds.
-    val sigs = df
+    val sigs = input
       .select(col(idCol).as("id"), sigUdf(col(vecCol)).as("sigs"))
       .localCheckpoint()
     val buckets = sigs.select(col("id"), posexplode(col("sigs")).as(Seq("table", "sig")))
@@ -245,17 +257,24 @@ object Similarity {
   }
 
   private def signatureUdf(hp: Array[Array[Array[Double]]]) =
-    udf((vec: Seq[Float]) => {
+    udf((vecSeq: Seq[Float]) => {
+      // one unboxing pass up front: the tables x planes x dim inner loop
+      // over a boxed Seq accessor costs ~100x a primitive-array loop
+      val vec = new Array[Float](vecSeq.length)
+      var i = 0
+      while (i < vec.length) { vec(i) = vecSeq(i); i += 1 }
       val out = new Array[Int](hp.length)
       var t = 0
       while (t < hp.length) {
+        val tbl = hp(t)
         var sig = 0
         var p = 0
-        while (p < hp(t).length) {
+        while (p < tbl.length) {
           var s = 0.0
-          val plane = hp(t)(p)
+          val plane = tbl(p)
+          val n = math.min(plane.length, vec.length)
           var d = 0
-          while (d < plane.length && d < vec.length) {
+          while (d < n) {
             s += plane(d) * vec(d)
             d += 1
           }
