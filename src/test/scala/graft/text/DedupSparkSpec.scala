@@ -308,6 +308,18 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"near-dup recall $recall over ${exact.size} true pairs")
   }
 
+  test("sign-LSH candidates are input-partitioning invariant (widen-if-narrow)") {
+    // a 1-partition input (the small-parquet shape) takes the internal
+    // widening path; results must be identical to an already-wide input
+    def pairs(df: org.apache.spark.sql.DataFrame) = Similarity
+      .signLshCandidatePairs(df, "vec_id", "embedding")
+      .select(col("id_a"), col("id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs(vecsDf.coalesce(1)) == pairs(vecsDf.repartition(8)))
+  }
+
   test("IVF ANN (distributed index build) top-1 recall and determinism") {
     val exact = Similarity
       .cosineTopKBroadcast(vecsDf, vecsDf, "vec_id", "embedding", k = 1)
