@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Widen a frame narrower than the cluster default parallelism before a
+   * CPU-heavy per-row pass: a small parquet file arrives as 1-2 partitions
+   * and would otherwise run the pass single-threaded. At scale the input is
+   * already wide and this is a no-op (no shuffle added). */
+  private[text] def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   val fingerprintUdf = udf((s: String) => TextFunctions.fingerprint64(s))
   val minhashUdf =
     udf((s: String, numHashes: Int, k: Int) => TextFunctions.minhashSignature(s, numHashes, k))
@@ -82,7 +91,7 @@ object Dedup {
     val rows = numHashes / bands
     // materialize signatures once: the banded frame feeds both sides of the
     // candidate self-join, which would otherwise recompute the UDF per side
-    val sigs = df
+    val sigs = widen(df)
       .select(
         col(idCol).as("id"),
         minhashUdf(col(textCol), lit(numHashes), lit(shingleK)).as("sig"))
@@ -308,7 +317,7 @@ object Dedup {
     val cands = minhashCandidates(docsDf, "id", "text", numHashes, bands, shingleK)
     // shingle sets computed once per document (materialized: joined twice),
     // pairs verified by sorted-array merge
-    val docs = docsDf
+    val docs = widen(docsDf)
       .select(col("id"), shinglesUdf(col("text"), lit(shingleK)).as("sh"))
       .localCheckpoint()
     cands
