@@ -84,23 +84,67 @@ object Bench {
     }
     val turnsPerSec = n / engineBest
 
+    // per-query job count + shuffle bytes from the listener bus: fixed-
+    // overhead-bound queries (many short sequential jobs, e.g. q29's
+    // LSH chain + CC rounds) are then distinguishable from data-bound ones
+    // in the artifact itself
+    val qListener = new org.apache.spark.scheduler.SparkListener {
+      val jobsStarted = new java.util.concurrent.atomic.AtomicLong
+      val jobsEnded = new java.util.concurrent.atomic.AtomicLong
+      val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted.incrementAndGet()
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsEnded.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      /** Listener events are async: wait (bounded) until every started job's
+       * end event has been processed so per-query diffs don't bleed over. */
+      def settle(): Unit = {
+        val deadline = System.nanoTime() + 5000000000L
+        while (jobsEnded.get() < jobsStarted.get() && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        Thread.sleep(50) // task-end events for the last job trail the job end
+      }
+    }
+    spark.sparkContext.addSparkListener(qListener)
+
+    case class QMetrics(sec: Double, jobs: Long, shuffleRead: Long, shuffleWrite: Long)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      qListener.settle()
+      val (j0, r0, w0) =
+        (qListener.jobsStarted.get(), qListener.shuffleRead.get(), qListener.shuffleWrite.get())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $sec%.2f s")
-      name -> sec
+      qListener.settle()
+      val m = QMetrics(sec, qListener.jobsStarted.get() - j0,
+        qListener.shuffleRead.get() - r0, qListener.shuffleWrite.get() - w0)
+      System.err.println(
+        f"[bench] $name: $sec%.2f s (${m.jobs} jobs, ${m.shuffleRead}%d B shuffle read)")
+      name -> m
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qm = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + s"\":{\"jobs\":${v.jobs},\"shuffle_read_bytes\":${v.shuffleRead}," +
+        s"\"shuffle_write_bytes\":${v.shuffleWrite}}"
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
 
     // Locale.ROOT formatting: the f-interpolator is locale-dependent and a
     // comma-decimal locale would break the driver's JSON parse
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_metrics":$qm,"sf":"$sfDir",""" +
         s""""sketch_update":{"rows":$n,"sec":${num("%.2f", engineBest)},""" +
         s""""turns_per_sec":${num("%.0f", turnsPerSec)}},""" +
         s""""cpu_probe":{"threads":$nThreads,"one_thread_sec":${num("%.2f", oneThreadSec)},""" +

@@ -209,12 +209,18 @@ object Scaling {
           java.util.Locale.ROOT, "%.4f", Double.box(engEff))},"unit":"ratio",""" +
         s"$engJson,$pipeJson}"
     println(json)
-    // artifact of record survives log interleaving (same contract as Bench)
+    // artifact of record survives log interleaving (same contract as Bench);
+    // an unwritable path must not discard the measurements already printed
+    // above nor skip the temp-dir cleanup below
     val outPath =
       sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "bench_local/SCALING_last.json")
-    val p = java.nio.file.Paths.get(outPath)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception => System.err.println(s"[scaling] could not write $outPath: $e")
+    }
     import scala.reflect.io.Directory
     new Directory(new java.io.File(tmp)).deleteRecursively()
   }

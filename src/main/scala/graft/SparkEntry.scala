@@ -126,7 +126,7 @@ object SparkEntry {
     val transcripts = graft.spark.Transcripts.fromEvents(table(spark, dir, "events"))
     transcripts
       .groupBy(col("role"))
-      .agg(hist_sketch(length(col("text")).cast("double"), latencyLayout).as("sk"))
+      .agg(hist_sketch_binary(length(col("text")).cast("double"), latencyLayout).as("sk"))
       .select(
         col("role"),
         hist_total(col("sk")).as("n_turns"),
@@ -136,10 +136,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 1. CustomLayout bin counts, exploded — exact, SQL-checkable bin by bin.
-    //    Uses the native TypedImperativeAggregate (V1 shuffle buffers +
-    //    unboxed update) so that aggregation path has driver-oracle coverage
-    //    too (q20 covers the packed buffer; the kryo Aggregator runs in the
-    //    remaining histogram queries).
+    //    The native TypedImperativeAggregate (hist_sketch_binary: V1-format
+    //    shuffle buffers + unboxed update, ~20% faster than the kryo
+    //    Aggregator and the compact wire bytes ARE the shuffle buffer) is
+    //    the driver DEFAULT — q01/q02/q03/q21/q22/q24/q25 and entry() run
+    //    it; q20 covers the packed buffer; the kryo Aggregator path keeps
+    //    green coverage via q09/q18/q23/q27 (all byte-identical envelopes).
     "q01_hist_custom_bins" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .agg(hist_sketch_binary(col("l_extendedprice"), priceLayout).as("sk"))
@@ -153,8 +155,8 @@ object SparkEntry {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          hist_sketch(col("l_quantity"), qtyLayout).as("sk"),
-          hist_sketch(col("l_quantity"), narrowQtyLayout).as("sk2"))
+          hist_sketch_binary(col("l_quantity"), qtyLayout).as("sk"),
+          hist_sketch_binary(col("l_quantity"), narrowQtyLayout).as("sk2"))
         .select(
           col("l_returnflag"),
           hist_total(col("sk")).as("n"),
@@ -169,7 +171,7 @@ object SparkEntry {
       val ps = Seq(0.5, 0.99)
       val sketches = li
         .groupBy(col("l_returnflag"))
-        .agg(hist_sketch(col("l_extendedprice"), priceLogLayout).as("sk"))
+        .agg(hist_sketch_binary(col("l_extendedprice"), priceLogLayout).as("sk"))
         .select(
           col("l_returnflag"),
           explode(
@@ -328,42 +330,46 @@ object SparkEntry {
         sum(col("representative_id")).as("sum_rep_id"))
     },
     // 13. MinHash LSH near-dup recall vs exact all-pairs jaccard (brute force
-    //     is the in-query oracle; the SQL oracle asserts the booleans)
+    //     is the in-query oracle; the SQL oracle asserts the booleans).
+    //     ALL verification math is distributed — anti-join / aggregate
+    //     scalars; no pair frame is ever collected, so the query's driver
+    //     footprint is O(1) at any sf (the q16 sampled-truth pattern).
     "q13_minhash_lsh" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val found = graft.text.Dedup
         .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .toSet
+        .localCheckpoint()
       // exact-duplicate pairs (identical canonical text) must ALL be found —
-      // derived exactly at any scale via a group-by on the 8-byte canonical
-      // fingerprint (the text itself never shuffles)
-      val dupPairs = docs
-        .groupBy(graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(col("ids"))
-        .collect()
-        .map(_.getSeq[Long](0))
-        .flatMap(ids => ids.sorted.combinations(2).map(p => (p(0), p(1))))
-        .toSet
-      val dupsFound = dupPairs.forall(found.contains)
+      // derived exactly at any scale by a self-join of (fp, id) members on
+      // the 8-byte canonical fingerprint (the text itself never shuffles);
+      // "all found" = the left-anti count against the found pairs is zero
+      val members = docs
+        .select(col("doc_id"), graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
+        .localCheckpoint()
+      val dupsMissing = members
+        .as("a")
+        .join(members.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left_anti")
+        .count()
       // near-dup recall gauged against brute-force truth over a
       // locality-sensitive doc sample (full corpus when small): the
       // quadratic cost is capped at ~maxDocs^2 while near-dup pairs survive
-      // the sampling together (see Dedup.jaccardPairsAboveSampled)
+      // the sampling together (see Dedup.jaccardPairsAboveSampled).
+      // recall = |truth ∩ found| / |truth| via a left-semi count.
       val truth = graft.text.Dedup
         .jaccardPairsAboveSampled(docs, "doc_id", "text", threshold = 0.8, maxDocs = 1500L)
         .select(col("id_a"), col("id_b"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .toSet
-      val recallOk = truth.isEmpty || truth.intersect(found).size.toDouble / truth.size >= 0.9
-      val precisionOk = found.forall { case (a, b) => a < b } // verified, ordered pairs
+        .localCheckpoint()
+      val truthN = truth.count()
+      val truthFound = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
+      val recallOk = truthN == 0L || truthFound.toDouble / truthN >= 0.9
+      // verified, ordered pairs: no row may violate id_a < id_b
+      val misordered = found.filter(col("id_a") >= col("id_b")).count()
+      val precisionOk = misordered == 0L && dupsMissing == 0L
       import s.implicits._
-      Seq((recallOk, precisionOk && dupsFound)).toDF("recall_ok", "precision_ok")
+      Seq((recallOk, precisionOk)).toDF("recall_ok", "precision_ok")
     },
     // 14. SimHash signatures: identical canonical texts map to identical
     //     signatures, and any signature collisions are token-similar docs
@@ -444,8 +450,13 @@ object SparkEntry {
         .toMap
       val recall = exact.count { case (q, nb) => approx.get(q).contains(nb) }.toDouble /
         math.max(1, exact.size)
+      // the hash-sample size is binomial with mean ~n/stride, so a fixed
+      // floor near the mean would fail ~half the time for n just above the
+      // cutoff; a quarter of the expected size is ~6 sigma of slack at any n
+      val expectedSample = math.max(1L, n / stride)
+      val sampleOk = exact.size >= math.max(1L, expectedSample / 4)
       import s.implicits._
-      Seq((n, exact.size >= math.min(1000L, n), recall >= 0.55))
+      Seq((n, sampleOk, recall >= 0.55))
         .toDF("n_vectors", "sample_ok", "recall_ok")
     },
     // 17. language id + fingerprints over documents
@@ -538,7 +549,7 @@ object SparkEntry {
       val transcripts = graft.spark.Transcripts.fromEvents(table(s, dir, "events"))
       transcripts
         .groupBy(col("role"))
-        .agg(hist_sketch(length(col("text")).cast("double"), latencyLayout).as("sk"))
+        .agg(hist_sketch_binary(length(col("text")).cast("double"), latencyLayout).as("sk"))
         .select(
           col("role"),
           hist_total(col("sk")).as("n_turns"),
@@ -559,7 +570,7 @@ object SparkEntry {
           (unix_micros(col("ts").cast("timestamp")) -
             lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)).as("lat_us"))
         .filter(col("lat_us").isNotNull)
-        .agg(hist_sketch(col("lat_us").cast("double"), layout).as("sk"))
+        .agg(hist_sketch_binary(col("lat_us").cast("double"), layout).as("sk"))
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))
     },
@@ -584,7 +595,7 @@ object SparkEntry {
       val n = li.count()
       val ranks = Seq(0L, n / 4, n / 2, (3 * n) / 4, n - 1)
       val estRow = li
-        .agg(hist_sketch(col("v"), priceLogLayout).as("sk"))
+        .agg(hist_sketch_binary(col("v"), priceLogLayout).as("sk"))
         .select(ranks.zipWithIndex.map { case (r, i) =>
           hist_value_at_rank(col("sk"), lit(r)).as(s"e$i")
         }: _*)
@@ -623,7 +634,7 @@ object SparkEntry {
         .select(col("l_returnflag"), (col("l_extendedprice") - lit(30000.0)).as("v"))
       val sketches = li
         .groupBy(col("l_returnflag"))
-        .agg(hist_sketch(col("v"), layout).as("sk"))
+        .agg(hist_sketch_binary(col("v"), layout).as("sk"))
         .select(
           col("l_returnflag"),
           hist_total(col("sk")).as("n"),
@@ -795,25 +806,31 @@ object SparkEntry {
       val clusters = graft.text.Dedup
         .clustersFromPairs(docs, "doc_id", pairs)
         .localCheckpoint()
-      val nDocs = clusters.count()
-      val nClusters =
-        clusters.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0)
-      val repOk = clusters
+      // one aggregation job yields BOTH the cluster count and the
+      // representative-is-minimum check
+      val repAgg = clusters
         .groupBy(col("cluster_id"))
         .agg(min(col("id")).as("mn"))
-        .filter(col("mn") =!= col("cluster_id"))
-        .isEmpty
-      val exactDupsOk = docs
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("mn") =!= col("cluster_id"), 1L).otherwise(0L)).as("bad_reps"))
+        .collect()(0)
+      val nClusters = repAgg.getLong(0)
+      val repOk = repAgg.getLong(1) == 0L
+      // the fingerprint scan runs ONCE (checkpointed) and feeds both the
+      // exact-dups-co-clustered check and the distinct-canonical-text count
+      val withFp = docs
         .select(col("doc_id"), graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
+        .localCheckpoint()
+      val nDocs = withFp.count()
+      val fpAgg = withFp
         .join(clusters, col("doc_id") === col("id"))
         .groupBy(col("fp"))
         .agg(countDistinct(col("cluster_id")).as("nc"))
-        .filter(col("nc") > 1)
-        .isEmpty
-      val nUnique = docs
-        .select(countDistinct(graft.text.Dedup.fingerprintUdf(col("text"))))
+        .agg(count(lit(1)).as("n_unique"), max(col("nc")).as("max_nc"))
         .collect()(0)
-        .getLong(0)
+      val nUnique = fpAgg.getLong(0)
+      val exactDupsOk = fpAgg.getLong(1) <= 1L
       val kept = graft.text.Dedup
         .keepClusterRepresentatives(docs, "doc_id", clusters)
         .count()
@@ -843,17 +860,21 @@ object SparkEntry {
       val found = graft.text.Dedup
         .embeddingNearDuplicates(corpus, "id", "embedding", threshold = 0.95)
         .select(col("id_a"), col("id_b"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .toSet
+        .localCheckpoint()
+      // the expected pair set as a FRAME (3 pairs per planted id), compared
+      // by two anti-join counts — nothing pair-sized reaches the driver
       val planted = dupIds
-        .select(col("id"))
-        .collect()
-        .map(_.getLong(0))
-        .flatMap(i => Seq((i, i + 1000000L), (i, i + 2000000L), (i + 1000000L, i + 2000000L)))
-        .toSet
+        .select(explode(array(
+          struct(col("id").as("id_a"), (col("id") + lit(1000000L)).as("id_b")),
+          struct(col("id").as("id_a"), (col("id") + lit(2000000L)).as("id_b")),
+          struct((col("id") + lit(1000000L)).as("id_a"),
+            (col("id") + lit(2000000L)).as("id_b")))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+      val nFound = found.count()
+      val missing = planted.join(found, Seq("id_a", "id_b"), "left_anti").count()
+      val extra = found.join(planted, Seq("id_a", "id_b"), "left_anti").count()
       import s.implicits._
-      Seq((corpus.count(), found.size.toLong, planted.subsetOf(found), found == planted))
+      Seq((corpus.count(), nFound, missing == 0L, missing == 0L && extra == 0L))
         .toDF("n_vecs", "n_pairs", "all_planted_found", "only_planted")
     },
     // 31. exact n-gram (word 3-shingle) Jaccard pairs over a bounded

@@ -12,13 +12,30 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Partition width of a frame derived from its PHYSICAL PLAN — no RDD
+   * materialization (`df.rdd` under AQE executes any shuffle stages in the
+   * lineage just to answer the question). A plan containing a shuffle is
+   * already `spark.sql.shuffle.partitions` wide; otherwise the width is the
+   * sum of the leaf scans' partition counts (executing a LEAF builds its
+   * RDD lazily — file listing only, no job). */
+  private[text] def planWidth(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.sparkPlan
+    // find is pre-order, so this is the TOPMOST (output-side) shuffle
+    plan.find(_.isInstanceOf[ShuffleExchangeLike]) match {
+      case Some(ex) => ex.asInstanceOf[ShuffleExchangeLike].numPartitions
+      case None     => plan.collectLeaves().map(_.execute().getNumPartitions).sum
+    }
+  }
+
   /** Widen a frame narrower than the cluster default parallelism before a
    * CPU-heavy per-row pass: a small parquet file arrives as 1-2 partitions
    * and would otherwise run the pass single-threaded. At scale the input is
-   * already wide and this is a no-op (no shuffle added). */
+   * already wide and this is a no-op (no shuffle added, and the width probe
+   * itself is plan metadata — it launches no job). */
   private[text] def widen(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (planWidth(df) < par) df.repartition(par) else df
   }
 
   val fingerprintUdf = udf((s: String) => TextFunctions.fingerprint64(s))
@@ -264,18 +281,35 @@ object Dedup {
       nearDuplicateClusters(df, idCol, textCol, threshold, numHashes, bands, shingleK))
 
   /**
-   * Distributed connected components by iterative min-label propagation:
-   * every node repeatedly adopts the minimum label among itself and its
-   * neighbors until fixpoint — O(component diameter) rounds (near-duplicate
-   * clusters are shallow), each round one equi-join on the 8-byte id plus a
-   * min-aggregation; lineage is truncated per round. Nothing graph-sized
-   * ever reaches the driver. Nodes: (id); edges: (id_a, id_b), undirected.
-   * Returns (id, cluster_id = component minimum).
+   * Distributed connected components by min-label propagation WITH pointer
+   * jumping: each round every node (1) adopts the minimum label among itself
+   * and its neighbors, then (2) jumps to its label's own label
+   * (label <- label(label)). The jump doubles the distance that minimum
+   * labels travel per round, so convergence is O(log diameter) rounds — a
+   * 200-node chain converges in ~9 rounds where plain propagation needs 200
+   * (and a clique still converges in 2-3). Each round is two equi-joins on
+   * the 8-byte id plus a min-aggregation; lineage is truncated per round.
+   * Nothing graph-sized ever reaches the driver. Nodes: (id); edges:
+   * (id_a, id_b), undirected. Returns (id, cluster_id = component minimum).
+   *
+   * Correctness invariant (unchanged by the jump): labels are always ids of
+   * nodes within the same component and decrease monotonically; at fixpoint
+   * every edge's endpoints share a label, so the common label is the
+   * component minimum. maxIters bounds ROUNDS, not diameter — 2^60-diameter
+   * graphs do not exist, so 60 is effectively unconditional.
    */
   private[text] def connectedComponents(
       nodes: DataFrame,
       edges: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 60): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the rounds
+   * count is the observable the O(log diameter) claim is tested against. */
+  private[text] def connectedComponentsWithRounds(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 60): (DataFrame, Int) = {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -292,19 +326,34 @@ object Dedup {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels
+      // (1) propagate one hop
+      val propagated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(
           col("id"),
           col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
         .localCheckpoint()
+      // (2) pointer jump: next <- label(next). The checkpoint above breaks
+      // lineage so the self-join below is two scans of one materialized
+      // frame, not a recompute (and no ambiguous-self-join resolution).
+      val lookup = propagated.select(col("id").as("jid"), col("next").as("jlabel"))
+      val updated = propagated
+        .join(lookup, propagated("next") === lookup("jid"), "left")
+        .select(
+          col("id"),
+          col("label"),
+          least(col("next"), coalesce(col("jlabel"), col("next"))).as("next"))
+        .localCheckpoint()
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       it += 1
     }
-    require(changed == 0, s"connected components did not converge in $maxIters rounds")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    if (changed != 0)
+      throw new IllegalStateException(
+        s"connected components did not converge: $changed labels still changing " +
+          s"after $maxIters pointer-jumping rounds (diameter would exceed 2^$maxIters)")
+    (labels.select(col("id"), col("label").as("cluster_id")), it)
   }
 
   /** LSH candidates over (id, text), verified by sorted-shingle merge. */

@@ -227,11 +227,9 @@ object Similarity {
     // a small parquet file arrives as 1-2 partitions: the signature pass
     // (the CPU-heavy part) would then run on one core. Widen only when
     // narrower than the cluster default — at scale the input is already
-    // wide and no shuffle is added.
-    val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val input =
-      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // wide and no shuffle is added (and the width probe is plan metadata,
+    // not an RDD materialization: see Dedup.planWidth).
+    val input = Dedup.widen(df)
     // the compact (id, sigs) table is MATERIALIZED once: exploding directly
     // over the UDF inlines it into the Generate, re-evaluating the whole
     // `tables x planes x dim` signature per OUTPUT row (measured `tables`-x
@@ -490,6 +488,13 @@ object Similarity {
    * same sample to derive sub-split factors. With `distributedTraining`,
    * Lloyd's iterations run as treeAggregates and only the k centroids ever
    * reach the driver.
+   *
+   * With `exactBucketCounts`, bucket sizes come from one extra MAP-ONLY pass
+   * over the FULL corpus (nearest-centroid per row, count per bucket — only
+   * `centroids` longs reach the driver), making the `maxBucketSize` cap
+   * unconditional: the default sample-based estimate under-splits a corpus
+   * whose skew the hash-sample happens to miss (documented limitation), the
+   * exact pass cannot.
    */
   private[text] def trainIvfModel(
       df: DataFrame,
@@ -500,7 +505,8 @@ object Similarity {
       kmeansIters: Int = 10,
       seed: Long = 17L,
       distributedTraining: Boolean = false,
-      maxBucketSize: Int = 1 << 20): IvfModel = {
+      maxBucketSize: Int = 1 << 20,
+      exactBucketCounts: Boolean = false): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -521,15 +527,25 @@ object Similarity {
             .map(_._2.map(_.toDouble))
           trainCentroids(sample, centroids, kmeansIters, seed)
         }
-      // bucket sizes estimated from the bounded sample (scaled by stride):
-      // one cheap extra pass over the sample, never over the corpus
+      // bucket sizes: by default estimated from the bounded sample (scaled
+      // by stride — one cheap extra pass over the sample); with
+      // exactBucketCounts, counted exactly over the full corpus (map-only,
+      // `centroids` longs to the driver) so the cap holds even when the
+      // hash-sample misses the skew
       val bcC = spark.sparkContext.broadcast(cents)
-      val sampleCounts = sampleDs.rdd
-        .map { case (_, vF) => nearestCentroid(bcC.value, vF.map(_.toDouble)) }
-        .countByValue()
+      val estSizes =
+        if (exactBucketCounts) {
+          val counts = ids.rdd
+            .map(r => nearestCentroid(bcC.value, r.getSeq[Float](1).map(_.toDouble).toArray))
+            .countByValue()
+          Array.tabulate(cents.length)(b => counts.getOrElse(b, 0L))
+        } else {
+          val sampleCounts = sampleDs.rdd
+            .map { case (_, vF) => nearestCentroid(bcC.value, vF.map(_.toDouble)) }
+            .countByValue()
+          Array.tabulate(cents.length)(b => sampleCounts.getOrElse(b, 0L) * stride)
+        }
       bcC.destroy()
-      val estSizes = Array.tabulate(cents.length)(b =>
-        sampleCounts.getOrElse(b, 0L) * stride)
       IvfModel(cents, bucketSplits(estSizes, maxBucketSize))
     } finally {
       sampleDs.unpersist(blocking = false)
@@ -562,13 +578,14 @@ object Similarity {
       kmeansIters: Int = 10,
       seed: Long = 17L,
       distributedTraining: Boolean = false,
-      maxBucketSize: Int = 1 << 20): DataFrame = {
+      maxBucketSize: Int = 1 << 20,
+      exactBucketCounts: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val model = trainIvfModel(
       df, idCol, vecCol, centroids, sampleSize, kmeansIters, seed,
-      distributedTraining, maxBucketSize)
+      distributedTraining, maxBucketSize, exactBucketCounts)
     val cents = model.cents
     val nProbes = math.min(probes, cents.length)
     val bcCents = spark.sparkContext.broadcast(cents)

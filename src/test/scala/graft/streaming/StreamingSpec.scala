@@ -62,6 +62,77 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark DROPS late data across micro-batches; finalized windows match batch recount") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_wm").toString
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // append output mode: a window row is emitted exactly once, when the
+      // watermark (max event time - 30 min) passes the window end — so a
+      // late row arriving after its window was finalized must be DROPPED,
+      // not re-aggregated
+      val file1 = Seq(
+        (ts("2024-01-01 10:00:10"), 10.0),
+        (ts("2024-01-01 10:10:00"), 20.0),
+        (ts("2024-01-01 10:40:00"), 30.0), // 3 on-time rows in the 10:00 window
+        (ts("2024-01-01 12:00:00"), 40.0)) // advances watermark to 11:30
+      val file2 = Seq(
+        (ts("2024-01-01 10:15:00"), 999.0), // LATE: watermark 11:30 > 10:15
+        (ts("2024-01-01 14:00:00"), 50.0)) // advances watermark to 13:30
+      val file3 = Seq(
+        (ts("2024-01-01 16:00:00"), 60.0)) // advances watermark past 14:00's end
+      file1.toDF("ts", "v").write.parquet(s"$tmp/in")
+
+      val stream = spark.readStream
+        .schema("ts timestamp, v double")
+        .parquet(s"$tmp/in")
+      val agg = StreamingSketch.windowedHistogram(stream, "ts", "v", layout, "1 hour", "30 minutes")
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+      try {
+        q.processAllAvailable()
+        file2.toDF("ts", "v").write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+        file3.toDF("ts", "v").write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val emitted = spark
+        .table("wm_out")
+        .select(col("window_start"), col("n"), col("p50"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      val byWindow = emitted.groupBy(_._1)
+      // exactly one emission per finalized window (append semantics)
+      assert(byWindow.values.forall(_.length == 1), s"duplicate window emissions: $emitted")
+      val counts = emitted.map(e => e._1 -> e._2).toMap
+      // the 10:00 window holds ONLY the 3 on-time rows: the 999.0 row of
+      // batch 2 was behind the watermark and must not have re-opened it
+      assert(counts.get("2024-01-01 10:00:00.0").contains(3L),
+        s"late row not dropped or window miscounted: $counts")
+      assert(counts.get("2024-01-01 12:00:00.0").contains(1L), s"12:00 window: $counts")
+      assert(counts.get("2024-01-01 14:00:00.0").contains(1L), s"14:00 window: $counts")
+      // every finalized window matches a batch recount over the ON-TIME rows
+      val batchCounts = (file1 ++ file3 ++ file2.filter(_._2 != 999.0))
+        .toDF("ts", "v")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("n"))
+        .collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1))
+        .toMap
+      counts.foreach { case (w, n) =>
+        assert(batchCounts.get(w).contains(n), s"window $w: streamed $n vs batch ${batchCounts.get(w)}")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("stateful sketch state survives a query RESTART via checkpoint recovery") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString

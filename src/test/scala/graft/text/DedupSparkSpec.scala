@@ -228,6 +228,58 @@ class DedupSparkSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
   }
 
+  test("connected components: 200-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a similarity CHAIN of diameter 199 — plain one-hop min-label
+    // propagation needs 199 rounds (and the old maxIters=25 hard-failed);
+    // pointer jumping must close it in ~log2 rounds
+    val n = 200
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(nodes, edges)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n && cc.values.forall(_ == 0L),
+      s"chain not fully labeled with the component minimum")
+    assert(rounds <= 12, s"200-chain took $rounds rounds — pointer jumping not effective")
+    // and the worst-case ORDER still holds: doubling the chain adds ~1 round
+    val nodes2 = (0 until 2 * n).map(_.toLong).toDF("id")
+    val edges2 = (0 until 2 * n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (_, rounds2) = Dedup.connectedComponentsWithRounds(nodes2, edges2)
+    assert(rounds2 <= rounds + 2, s"rounds not logarithmic: $rounds -> $rounds2")
+  }
+
+  test("widen width probe launches NO Spark job (plan metadata only)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    try {
+      docsDf.write.parquet(s"$tmp/docs")
+      // a derived frame (scan + filter + projection + union): the old
+      // df.rdd.getNumPartitions probe under AQE could execute lineage stages
+      val read = spark.read.parquet(s"$tmp/docs")
+      val derived = read
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(read.filter(col("doc_id") < 0).select(col("doc_id"), col("text")))
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val w = Dedup.planWidth(derived)
+        assert(w > 0)
+        Thread.sleep(500) // listener events are async; absence needs a grace period
+        assert(jobs.get() == 0L, s"width probe launched ${jobs.get()} job(s)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // a frame whose plan contains a shuffle reports that shuffle's width
+      assert(Dedup.planWidth(read.repartition(16)) == 16)
+      assert(Dedup.planWidth(read.repartition(2)) == 2)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("grouped jaccard pairs are exact and complete within groups") {
     import spark.implicits._
     val df = Seq(
@@ -391,6 +443,62 @@ class SimilaritySparkSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .toSet
     assert(run(50) == run(1 << 20), "sub-splitting changed the result set")
+  }
+
+  test("IVF exact bucket counts enforce the cap when the hash-sample misses the skew") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(123L)
+    val dim = 8
+    // adversarial corpus: the 2000-vector mega-cluster lives ONLY on ids the
+    // deterministic hash-sample never selects (hash(id) % stride != 0), so
+    // the sample-based bucket-size estimate cannot see the skew — the
+    // documented failure mode of the default estimator
+    val sampleSize = 100
+    val stride = 40 // trainIvfModel: n=4000, sampleSize=100 -> stride 40
+    val idsByResidue = spark
+      .range(0, 30000)
+      .select(col("id"), pmod(hash(col("id")), lit(stride)).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val invisibleIds = idsByResidue.filter(_._2 != 0).map(_._1).take(2000)
+    val spreadIds = idsByResidue.map(_._1).filterNot(invisibleIds.toSet).take(2000)
+    val megaCenter = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val spreadCenters = Array.fill(4, dim)(rnd.nextGaussian().toFloat)
+    val rows =
+      invisibleIds.map(id =>
+        (id, megaCenter.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)) ++
+        spreadIds.zipWithIndex.map { case (id, i) =>
+          (id, spreadCenters(i % 4).map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+        }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    assert(df.count() == 4000)
+    val cap = 600
+    val sampled = Similarity.trainIvfModel(
+      df, "vec_id", "embedding", centroids = 4, sampleSize = sampleSize,
+      maxBucketSize = cap)
+    val exact = Similarity.trainIvfModel(
+      df, "vec_id", "embedding", centroids = 4, sampleSize = sampleSize,
+      maxBucketSize = cap, exactBucketCounts = true)
+    // the sample-based estimate under-splits: some real bucket exceeds the cap
+    val sampledMax = Similarity.corpusBucketCounts(df, "vec_id", "embedding", sampled)
+      .values.max
+    assert(sampledMax > cap,
+      s"corpus failed to defeat the hash-sample (max bucket $sampledMax <= $cap)")
+    // the exact pass still splits: every sub-bucket within 2x of the cap
+    // (hash sub-splitting is uniform, not exact)
+    val exactMax = Similarity.corpusBucketCounts(df, "vec_id", "embedding", exact)
+      .values.max
+    assert(exactMax <= 2L * cap, s"exact-count cap not enforced: max sub-bucket $exactMax")
+    assert(exact.splits.exists(_ > 1), s"no bucket split: ${exact.splits.toSeq}")
+    // sub-splitting changes task granularity only: results identical
+    def run(exactCounts: Boolean) = Similarity
+      .ivfCosineTopK(df, "vec_id", "embedding", k = 1, centroids = 4, probes = 2,
+        sampleSize = sampleSize, maxBucketSize = cap, exactBucketCounts = exactCounts)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(run(true) == run(false), "exact bucket counts changed the result set")
   }
 
   test("LSH ANN achieves >=80% top-1 recall vs brute force") {
