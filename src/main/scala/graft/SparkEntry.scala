@@ -786,6 +786,67 @@ object SparkEntry {
         new Directory(new java.io.File(tmp)).deleteRecursively()
       }
     },
+    // 32. streaming WATERMARK semantics under the driver oracle: the events
+    //     table replayed as TWO micro-batches (batch 1 = even event_ids
+    //     before Jan 15, batch 2 = everything else), 1-day windows, 1-hour
+    //     watermark, APPEND mode — each window is emitted exactly once, when
+    //     the watermark passes its end. Batch-2 rows whose window closed
+    //     under batch 1's watermark are DROPPED (days 1-13); the Jan 14
+    //     window is still open at batch 2, so its batch-2 rows merge in even
+    //     though their event times are behind the watermark (the drop rule
+    //     keys on window end, not row time); the final day's window is never
+    //     emitted (watermark never passes it). DuckDB re-derives the batch
+    //     split, both watermarks, the drop rule, the emission cutoff, and
+    //     every finalized window's exact count/min/max.
+    "q32_streaming_watermark" -> { (s, dir) =>
+      val batch = table(s, dir, "events")
+        .select(
+          col("ts").cast("timestamp").as("ets"),
+          length(col("props")).cast("double").as("v"),
+          col("event_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wm").toString
+      try {
+        val in = s"$tmp/in"
+        val out = s"$tmp/out"
+        val isBatch1 = col("event_id") % 2 === 0 &&
+          col("ets") < lit("2024-01-15").cast("timestamp")
+        batch.filter(isBatch1).drop("event_id").write.parquet(in)
+        val stream = s.readStream
+          .schema("ets timestamp, v double")
+          .parquet(in)
+        val windowed = graft.streaming.StreamingSketch.windowedHistogram(
+          stream, "ets", "v", latencyLayout, "1 day", "1 hour")
+        val q = windowed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable()
+        batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
+        q.processAllAvailable()
+        q.stop()
+        // materialize before the temp dir is deleted: one row per FINALIZED
+        // WINDOW (~days in the table), never data-sized
+        val rows = s.read
+          .parquet(out)
+          .select(
+            col("window_start"),
+            col("n"),
+            hist_min(col("sketch")).as("mn"),
+            hist_max(col("sketch")).as("mx"))
+          .orderBy(col("window_start"))
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .toSeq
+        import s.implicits._
+        rows.toDF("window_start", "n", "mn", "mx").orderBy(col("window_start"))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
     // 29. transitive near-duplicate clustering: connected components over
     //     the verified MinHash-LSH pair graph (iterative min-label
     //     propagation, equi-joins on 8-byte ids only), one representative
@@ -1068,6 +1129,32 @@ object SparkEntry {
                   AS n_distinct_fp,
                 0 AS any_null_pred
          FROM documents""",
+    "q32_streaming_watermark" ->
+      // batch 1 = even event_ids before Jan 15; watermark after batch 1 =
+      // max(batch-1 ts) - 1h. A batch-2 row is kept iff its 1-day window's
+      // END is beyond that watermark; a window is emitted iff its end is at
+      // or before the FINAL watermark (max overall ts - 1h). Window '1 day'
+      // aligns to the epoch = date_trunc('day') in the UTC session.
+      """WITH b1 AS (
+           SELECT ts, length(props) AS v FROM events
+           WHERE event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-15'),
+         b2 AS (
+           SELECT ts, length(props) AS v FROM events
+           WHERE NOT (event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-15')),
+         kept AS (
+           SELECT ts, v FROM b1
+           UNION ALL
+           SELECT ts, v FROM b2
+           WHERE date_trunc('day', ts) + INTERVAL 1 DAY >
+                 (SELECT max(ts) - INTERVAL 1 HOUR FROM b1)),
+         agg AS (
+           SELECT date_trunc('day', ts) AS window_start, count(*) AS n,
+                  CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+           FROM kept GROUP BY 1)
+         SELECT window_start, n, mn, mx FROM agg
+         WHERE window_start + INTERVAL 1 DAY <=
+               (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+         ORDER BY window_start""",
     "q29_dedup_clustered" ->
       """SELECT count(*) AS n_docs, true AS rep_ok, true AS exact_dups_ok,
                 true AS kept_ok, true AS clusters_le_unique
