@@ -760,15 +760,21 @@ object SparkEntry {
             length(col("props")).cast("double").as("v"))
         val windowed = graft.streaming.StreamingSketch.windowedHistogram(
           stream, "ets", "v", latencyLayout, "1 day", "1 minute")
-        val q = windowed.writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("overwrite").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        // ~30 daily windows of state: size the state-store partition count
+        // to the key count instead of the wide session default (see q32)
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = windowed.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         val r = s.read
           .parquet(out)
           .agg(hist_merge(col("sketch")).as("sk"), count(lit(1)).as("n_windows"))
@@ -816,17 +822,27 @@ object SparkEntry {
           .parquet(in)
         val windowed = graft.streaming.StreamingSketch.windowedHistogram(
           stream, "ets", "v", latencyLayout, "1 day", "1 hour")
-        val q = windowed.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("append").parquet(out)
-          }
-          .start()
-        q.processAllAvailable()
-        batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
-        q.processAllAvailable()
-        q.stop()
+        // state-store instances = shuffle partitions AT QUERY START (pinned
+        // in the checkpoint); the aggregation state is ~30 daily windows, so
+        // a wide session default (2x cores) would pay 8x the per-batch
+        // state-commit fixed cost for nothing. Size to the stateful key
+        // count; restore only after stop() — the first micro-batch reads
+        // the conf asynchronously after start() returns.
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = windowed.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable()
+          batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
+          q.processAllAvailable()
+          q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         // materialize before the temp dir is deleted: one row per FINALIZED
         // WINDOW (~days in the table), never data-sized
         val rows = s.read

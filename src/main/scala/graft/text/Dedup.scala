@@ -315,31 +315,37 @@ object Dedup {
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes
-      .select(col("id"), col("id").as("label"))
+    val nodeIds = nodes.select(col("id")).distinct()
+    // iterate ONLY over edge-adjacent nodes: near-duplicate pair graphs are
+    // tiny relative to the corpus, so the per-round joins touch O(dup docs)
+    // rows, never the corpus — singletons (the overwhelming majority at
+    // 100 TB) are their own cluster and join back in once at the end
+    var labels = sym
+      .select(col("src").as("id"))
       .distinct()
+      .join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      // ONE plan per round — propagate + pointer jump — materialized once.
+      // The jump reads the PREVIOUS round's labels (the checkpointed frame,
+      // so three scans of one cached RDD, no recompute): reach(r) =
+      // (reach(r-1) + 1) + reach(r-1), the same doubling recurrence as a
+      // same-generation jump, one checkpoint cheaper.
       val neighborMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nmin"))
-      // (1) propagate one hop
-      val propagated = labels
+      val lookup = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val updated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(
           col("id"),
           col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
-        .localCheckpoint()
-      // (2) pointer jump: next <- label(next). The checkpoint above breaks
-      // lineage so the self-join below is two scans of one materialized
-      // frame, not a recompute (and no ambiguous-self-join resolution).
-      val lookup = propagated.select(col("id").as("jid"), col("next").as("jlabel"))
-      val updated = propagated
-        .join(lookup, propagated("next") === lookup("jid"), "left")
+        .join(lookup, col("next") === col("jid"), "left")
         .select(
           col("id"),
           col("label"),
@@ -353,7 +359,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge: $changed labels still changing " +
           s"after $maxIters pointer-jumping rounds (diameter would exceed 2^$maxIters)")
-    (labels.select(col("id"), col("label").as("cluster_id")), it)
+    // labels holds exactly the edge-adjacent nodes; everything else is its
+    // own singleton cluster
+    val singletons = nodeIds
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    (labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons), it)
   }
 
   /** LSH candidates over (id, text), verified by sorted-shingle merge. */
