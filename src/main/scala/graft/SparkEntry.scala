@@ -22,6 +22,20 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Run `body` under an explicit shuffle width, restoring the session value
+   * after. Queries whose frames are orders of magnitude smaller than the
+   * session's data-sized default (the dedup pair graphs are O(dup docs);
+   * streaming state is O(windows)) are fixed-overhead-bound: every shuffle
+   * stage pays the task count, not the data. A real deployment sizes
+   * `spark.sql.shuffle.partitions` to the frame it processes — this is that
+   * knob, applied per query. Every action of `body` must run inside. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Full-precision double literal for oracle SQL. */
   private def dlit(v: Double): String = {
     if (v == v.floor && math.abs(v) < 1e15) f"${v.toLong}%d.0"
@@ -335,6 +349,10 @@ object SparkEntry {
     //     scalars; no pair frame is ever collected, so the query's driver
     //     footprint is O(1) at any sf (the q16 sampled-truth pattern).
     "q13_minhash_lsh" -> { (s, dir) =>
+      // pair-graph frames are O(dup docs) — size the shuffle width to the
+      // frame, not the session's data-sized default (fixed-overhead-bound
+      // otherwise: ~35 jobs whose cost is the task count)
+      withShufflePartitions(s, 8) {
       val docs = table(s, dir, "documents")
       val found = graft.text.Dedup
         .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
@@ -370,6 +388,7 @@ object SparkEntry {
       val precisionOk = misordered == 0L && dupsMissing == 0L
       import s.implicits._
       Seq((recallOk, precisionOk)).toDF("recall_ok", "precision_ok")
+      }
     },
     // 14. SimHash signatures: identical canonical texts map to identical
     //     signatures, and any signature collisions are token-similar docs
@@ -762,9 +781,7 @@ object SparkEntry {
           stream, "ets", "v", latencyLayout, "1 day", "1 minute")
         // ~30 daily windows of state: size the state-store partition count
         // to the key count instead of the wide session default (see q32)
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        withShufflePartitions(s, 8) {
           val q = windowed.writeStream
             .outputMode("complete")
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -774,7 +791,7 @@ object SparkEntry {
             }
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         val r = s.read
           .parquet(out)
           .agg(hist_merge(col("sketch")).as("sk"), count(lit(1)).as("n_windows"))
@@ -828,9 +845,7 @@ object SparkEntry {
         // state-commit fixed cost for nothing. Size to the stateful key
         // count; restore only after stop() — the first micro-batch reads
         // the conf asynchronously after start() returns.
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        withShufflePartitions(s, 8) {
           val q = windowed.writeStream
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -842,7 +857,7 @@ object SparkEntry {
           batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
           q.processAllAvailable()
           q.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         // materialize before the temp dir is deleted: one row per FINALIZED
         // WINDOW (~days in the table), never data-sized
         val rows = s.read
@@ -873,6 +888,9 @@ object SparkEntry {
     //     and the cluster count is bounded by the distinct-canonical-text
     //     count (which the oracle re-derives the doc count against).
     "q29_dedup_clustered" -> { (s, dir) =>
+      // same width treatment as q13: the pair graph, CC label frames, and
+      // check aggregations are all O(dup docs)
+      withShufflePartitions(s, 8) {
       val docs = table(s, dir, "documents")
       // the pair graph is the expensive part — computed ONCE and shared by
       // clustering and the representative drop (the 100 TB usage pattern)
@@ -914,6 +932,7 @@ object SparkEntry {
       import s.implicits._
       Seq((nDocs, repOk, exactDupsOk, kept == nClusters, nClusters <= nUnique))
         .toDF("n_docs", "rep_ok", "exact_dups_ok", "kept_ok", "clusters_le_unique")
+      }
     },
     // 30. embedding near-duplicates: sign-LSH candidate generation + exact
     //     cosine verification over the embeddings table augmented with

@@ -121,6 +121,13 @@ class DedupSparkSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // degenerate graph: no edges at all — every node is its own cluster
+    val noEdges = Dedup
+      .connectedComponents(nodes, edges.limit(0))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(noEdges == (1L to 7L).map(i => i -> i).toMap)
     // transitive chain T1~T2, T2~T3, T1 !~ T3 (1-gram jaccard 0.818/0.818/0.667)
     def text(lo: Int): String = (lo until lo + 100).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, text(0)), (2L, text(10)), (3L, text(20)), (9L, text(5000)))
