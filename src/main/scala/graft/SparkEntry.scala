@@ -676,10 +676,13 @@ object SparkEntry {
     // 26. count-weighted histogram (reference addValue(double, long) —
     //     Histogram.java:282-290): bin counts of l_extendedprice weighted by
     //     l_linenumber, exploded; the oracle recounts each bin as
-    //     sum(l_linenumber) — exact
+    //     sum(l_linenumber) — exact. Runs the NATIVE weighted aggregate
+    //     (V1-buffer TypedImperativeAggregate, unboxed (value, weight)
+    //     update); the kryo hist_sketch_weighted stays byte-identical
+    //     (A/B-tested in ExpressionSpec).
     "q26_weighted_hist" -> { (s, dir) =>
       table(s, dir, "lineitem")
-        .agg(hist_sketch_weighted(
+        .agg(hist_sketch_weighted_binary(
           col("l_extendedprice"), col("l_linenumber").cast("long"), priceLayout).as("sk"))
         .select(explode(hist_bins(col("sk"))).as("b"))
         .select(col("b.bin_index").as("bin_index"), col("b.cnt").as("cnt"))

@@ -124,6 +124,16 @@ object GraftExtensions {
     args => HistogramSketchAgg(Cast(args.head, DoubleType), mkLayout(args.tail))
       .toAggregateExpression()
 
+  /** (value, weight, layout params...) — the count-weighted native aggregate
+   * (reference `addValue(double, long)`, Histogram.java:283-290). */
+  private def weightedSketchAgg(fn: String, mkLayout: Seq[Expression] => Layout)
+      : Seq[Expression] => Expression =
+    args => HistogramSketchWeightedAgg(
+      Cast(args(0), DoubleType),
+      Cast(args(1), LongType),
+      mkLayout(args.drop(2)))
+      .toAggregateExpression()
+
   /** Expression builders shared by `injectFunction` (new sessions) and
    * [[functions.registerAll]] (existing sessions). */
   private[spark] val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -225,6 +235,19 @@ object GraftExtensions {
     "hist_sketch_custom" -> expectArgs("hist_sketch_custom", 2, atLeast = true)(sketchAgg(
       "hist_sketch_custom",
       a => CustomLayout(a.map(litDouble("hist_sketch_custom", _)).toArray))),
+    // count-weighted variants: (value, weight, layout params...)
+    "hist_sketch_weighted_log_quadratic" ->
+      expectArgs("hist_sketch_weighted_log_quadratic", 6)(weightedSketchAgg(
+        "hist_sketch_weighted_log_quadratic",
+        a => LogQuadraticLayout(
+          litDouble("hist_sketch_weighted_log_quadratic", a(0)),
+          litDouble("hist_sketch_weighted_log_quadratic", a(1)),
+          litDouble("hist_sketch_weighted_log_quadratic", a(2)),
+          litDouble("hist_sketch_weighted_log_quadratic", a(3))))),
+    "hist_sketch_weighted_custom" ->
+      expectArgs("hist_sketch_weighted_custom", 3, atLeast = true)(weightedSketchAgg(
+        "hist_sketch_weighted_custom",
+        a => CustomLayout(a.map(litDouble("hist_sketch_weighted_custom", _)).toArray))),
     // native bin-index scalar with layout literals (whole-stage codegen)
     "hist_bin_index_log_quadratic" -> expectArgs("hist_bin_index_log_quadratic", 5)(args =>
       HistBinIndex(

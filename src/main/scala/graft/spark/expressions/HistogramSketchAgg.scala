@@ -85,3 +85,92 @@ object HistogramSketchAgg {
       HistogramSketchAgg(ColumnBridge.expression(c.cast("double")), layout)
         .toAggregateExpression())
 }
+
+/**
+ * Count-weighted histogram aggregation with the same V1-wire aggregation
+ * buffer as [[HistogramSketchAgg]] (reference semantics
+ * `addValue(double, long)`, Histogram.java:283-290). The kryo
+ * `Aggregator`-based `hist_sketch_weighted` remains as the
+ * encoder-API variant; this is the high-group-cardinality path — compact
+ * shuffle buffers plus an unboxed (getDouble/getLong) per-row update.
+ */
+case class HistogramSketchWeightedAgg(
+    value: Expression,
+    weight: Expression,
+    layout: Layout,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Histogram] {
+
+  override def children: Seq[Expression] = Seq(value, weight)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Histogram = Histogram(layout)
+
+  // Unboxed hot path for BOTH children (see HistogramSketchAgg.boundOrdinal):
+  // eval() boxes a java.lang.Double + java.lang.Long per row otherwise.
+  @transient private lazy val valueOrdinal: Int = value match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == DoubleType => b.ordinal
+    case _ => -1
+  }
+  @transient private lazy val weightOrdinal: Int = weight match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == org.apache.spark.sql.types.LongType => b.ordinal
+    case _ => -1
+  }
+
+  override def update(buffer: Histogram, input: InternalRow): Histogram = {
+    val vOrd = valueOrdinal
+    val wOrd = weightOrdinal
+    if (vOrd >= 0 && wOrd >= 0) {
+      if (!input.isNullAt(vOrd) && !input.isNullAt(wOrd)) {
+        buffer.addValue(input.getDouble(vOrd), input.getLong(wOrd))
+      }
+    } else {
+      val v = value.eval(input)
+      val w = weight.eval(input)
+      if (v != null && w != null) {
+        buffer.addValue(v.asInstanceOf[Double], w.asInstanceOf[Long])
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Histogram, other: Histogram): Histogram = buffer.add(other)
+
+  override def eval(buffer: Histogram): Any = SketchEnvelope.toBytes(buffer)
+
+  override def serialize(buffer: Histogram): Array[Byte] = HistogramSerde.toBytes(buffer)
+
+  override def deserialize(bytes: Array[Byte]): Histogram =
+    HistogramSerde.fromBytes(layout, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistogramSketchWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): HistogramSketchWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HistogramSketchWeightedAgg =
+    copy(value = newChildren(0), weight = newChildren(1))
+
+  override def prettyName: String = "hist_sketch_weighted_binary"
+}
+
+object HistogramSketchWeightedAgg {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column constructor: (value, weight) aggregate with a V1-binary buffer. */
+  def apply(value: Column, weight: Column, layout: Layout): Column =
+    ColumnBridge.column(
+      HistogramSketchWeightedAgg(
+        ColumnBridge.expression(value.cast("double")),
+        ColumnBridge.expression(weight.cast("long")),
+        layout)
+        .toAggregateExpression())
+}

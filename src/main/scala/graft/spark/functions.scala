@@ -45,6 +45,13 @@ object functions {
       new Aggs.HistogramWeightedAgg(layout),
       Encoders.tuple(Encoders.DOUBLE, Encoders.LONG)).apply(value, weight)
 
+  /** Count-weighted histogram sketch with the native TypedImperativeAggregate
+   * (V1-format shuffle buffers, unboxed update) — the [[hist_sketch_binary]]
+   * treatment for the weighted path; byte-identical output to
+   * [[hist_sketch_weighted]]. Prefer at high group cardinality. */
+  def hist_sketch_weighted_binary(value: Column, weight: Column, layout: Layout): Column =
+    graft.spark.expressions.HistogramSketchWeightedAgg(value, weight, layout)
+
   /** Merges a column of histogram sketch bytes into one sketch (phase 2 of
    * salted/tree aggregation; checkpoint resume). */
   def hist_merge(c: Column): Column =

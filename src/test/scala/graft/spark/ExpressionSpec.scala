@@ -292,6 +292,95 @@ class ExpressionSpec extends AnyFunSuite {
       "SQL two-level hll_merge rollup must be byte-identical to the direct sketch")
   }
 
+  test("hist_sketch_weighted_binary is byte-identical to the kryo weighted aggregator " +
+    "and to weight-fold repetition") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(19L)
+    val rows = (0 until 20000).map { i =>
+      (s"g${i % 7}", rnd.nextDouble() * 1e5, (rnd.nextInt(5) + 1).toLong)
+    }
+    val df = rows.toDF("g", "v", "w").repartition(8)
+    def bytesOf(agg: org.apache.spark.sql.Column): Map[String, Seq[Byte]] = df
+      .groupBy(col("g"))
+      .agg(agg.as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+      .toMap
+    val kryo = bytesOf(hist_sketch_weighted(col("v"), col("w"), layout))
+    val native = bytesOf(hist_sketch_weighted_binary(col("v"), col("w"), layout))
+    assert(kryo == native)
+    // weight w must equal adding the value w times (reference addValue(v, n))
+    val repeated = rows
+      .flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+      .toDF("g", "v")
+      .repartition(8)
+      .groupBy(col("g"))
+      .agg(hist_sketch_binary(col("v"), layout).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+      .toMap
+    assert(native == repeated)
+  }
+
+  test("native binary sketch aggregates survive the sort-based fallback byte-identically") {
+    import spark.implicits._
+    // 1000 groups with the ObjectHashAggregate in-memory limit forced to 2
+    // groups: the exec spills to the sort-based path after the 2nd group —
+    // the code path 10^6-group jobs live in. Results must be byte-identical
+    // to the default (hash) path.
+    val rnd = new java.util.SplittableRandom(23L)
+    val rows = (0 until 50000).map { i =>
+      (i % 1000, rnd.nextDouble() * 1e4, (rnd.nextInt(3) + 1).toLong)
+    }
+    val df = rows.toDF("g", "v", "w").repartition(8)
+    def run(): (Map[Int, Seq[Byte]], Map[Int, Seq[Byte]]) = {
+      val plain = df
+        .groupBy(col("g"))
+        .agg(hist_sketch_binary(col("v"), layout).as("sk"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      val weighted = df
+        .groupBy(col("g"))
+        .agg(hist_sketch_weighted_binary(col("v"), col("w"), layout).as("sk"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      (plain, weighted)
+    }
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val (hashPlain, hashWeighted) = run()
+    val (sortPlain, sortWeighted) =
+      try { spark.conf.set(key, "2"); run() }
+      finally spark.conf.set(key, prev)
+    assert(sortPlain == hashPlain)
+    assert(sortWeighted == hashWeighted)
+    assert(sortPlain.size == 1000 && sortPlain.values.forall(_.nonEmpty))
+  }
+
+  test("SQL surface: weighted native aggregates with layout literals") {
+    functions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(29L)
+    val rows = (0 until 5000).map(_ => (rnd.nextDouble(1.0, 5e5), (rnd.nextInt(4) + 1).toLong))
+    rows.toDF("v", "w").createOrReplaceTempView("sql_weighted")
+    val kernel = graft.core.Histogram(LogQuadraticLayout(1e-3, 1e-2, 0, 1e6))
+    rows.foreach { case (v, w) => kernel.addValue(v, w) }
+    val r = spark
+      .sql("""SELECT hist_total(sk) AS n, hist_min(sk) AS mn, hist_max(sk) AS mx
+              FROM (SELECT hist_sketch_weighted_log_quadratic(v, w, 1e-3, 1e-2, 0.0, 1e6) AS sk
+                    FROM sql_weighted)""")
+      .collect()(0)
+    assert(r.getLong(0) == kernel.totalCount)
+    assert(r.getDouble(1) == kernel.min && r.getDouble(2) == kernel.max)
+    val r2 = spark
+      .sql("""SELECT hist_total(hist_sketch_weighted_custom(v, w, 10.0, 1000.0)) AS n
+              FROM sql_weighted""")
+      .collect()(0)
+    assert(r2.getLong(0) == rows.map(_._2).sum)
+  }
+
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {
     import spark.implicits._
     // 20k groups >> spark.sql.objectHashAggregate.sortBased.fallbackThreshold
