@@ -110,6 +110,14 @@ object Bench {
         val deadline = System.nanoTime() + 5000000000L
         while (jobsEnded.get() < jobsStarted.get() && System.nanoTime() < deadline)
           Thread.sleep(10)
+        // a lagging listener bus (the contended-host case these metrics are
+        // meant to diagnose) bleeds one query's jobs/shuffle deltas into the
+        // next — make that identifiable in the artifact's stderr log
+        if (jobsEnded.get() < jobsStarted.get()) {
+          System.err.println(
+            s"[bench] WARN settle timeout: ${jobsStarted.get() - jobsEnded.get()} " +
+              "job-end event(s) unprocessed; next query's metrics may include them")
+        }
         Thread.sleep(50) // task-end events for the last job trail the job end
       }
     }
@@ -142,15 +150,22 @@ object Bench {
     // comma-decimal locale would break the driver's JSON parse
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""query_metrics":$qm,"sf":"$sfDir",""" +
+    // common fields: "queries" stays a flat name->seconds map (the driver's
+    // parser expects numeric values there); the per-query {jobs, shuffle
+    // bytes} diagnostics live under the separate "query_metrics" key
+    val core =
+      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""sketch_update":{"rows":$n,"sec":${num("%.2f", engineBest)},""" +
         s""""turns_per_sec":${num("%.0f", turnsPerSec)}},""" +
         s""""cpu_probe":{"threads":$nThreads,"one_thread_sec":${num("%.2f", oneThreadSec)},""" +
         s""""n_thread_sec":${num("%.2f", nThreadSec)},""" +
-        s""""parallel_efficiency":${num("%.3f", cpuEff)}}}"""
-    println(json)
+        s""""parallel_efficiency":${num("%.3f", cpuEff)}}"""
+    // stdout gets the COMPACT line (~1.5 kB): the driver captures a bounded
+    // stdout tail, and round 4's line with embedded query_metrics was long
+    // enough to get clipped and parse as null. The full artifact (with
+    // query_metrics) goes to the file below.
+    println(s"{$core}")
+    val json = s"""{$core,"query_metrics":$qm}"""
     // also persist to a file so the round artifact of record stays
     // machine-readable even when sbt log lines interleave with stdout
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local/BENCH_last.json")

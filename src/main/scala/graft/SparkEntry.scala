@@ -349,11 +349,15 @@ object SparkEntry {
     //     scalars; no pair frame is ever collected, so the query's driver
     //     footprint is O(1) at any sf (the q16 sampled-truth pattern).
     "q13_minhash_lsh" -> { (s, dir) =>
-      // pair-graph frames are O(dup docs) — size the shuffle width to the
-      // frame, not the session's data-sized default (fixed-overhead-bound
-      // otherwise: ~35 jobs whose cost is the task count)
-      withShufflePartitions(s, 8) {
+      // pair-graph frames are O(dup docs) and the block also wraps corpus-
+      // sized shuffles (LSH banding, members self-join): size the width from
+      // the CORPUS row count — floor 8 at this testdata scale (fixed-
+      // overhead-bound: ~35 jobs whose cost is the task count), growing at
+      // ~4k rows/task and capped at 4x the cluster parallelism
       val docs = table(s, dir, "documents")
+      val pairWidth = graft.text.Dedup.pairGraphShuffleWidth(
+        docs.count(), s.sparkContext.defaultParallelism)
+      withShufflePartitions(s, pairWidth) {
       val found = graft.text.Dedup
         .nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
@@ -695,7 +699,17 @@ object SparkEntry {
     //     KLL merges keep their rank-error bounds; the weighted CMS is
     //     bound-checked against exact weighted counts.
     "q27_sketch_rollup" -> { (s, dir) =>
+      // five independent aggregation passes (partials, direct, stats,
+      // weighted sketch, weighted check) read the same six columns: persist
+      // the projected frame once instead of rescanning parquet five times.
+      // MEMORY_AND_DISK, not MEMORY_ONLY — eviction under memory pressure
+      // must spill, not trigger recompute storms (measured round 2).
       val li = table(s, dir, "lineitem")
+        .select(
+          col("l_extendedprice"), col("l_partkey"), col("l_returnflag"),
+          col("l_orderkey"), col("l_linestatus"), col("l_linenumber"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       def aggs = Seq(
         hist_sketch(col("l_extendedprice"), priceLayout).as("hist"),
         hll_sketch_long(col("l_partkey")).as("hll"),
@@ -754,9 +768,12 @@ object SparkEntry {
         .collect()(0)
         .getBoolean(0)
       import s.implicits._
+      // every action ran above; the returned frame is a local Seq with no
+      // lineage into the persisted scan, so unpersisting here is safe
       Seq((n, nParts, histId, hllId, cmsId, bloomId, tdOk, kllOk, wOk)).toDF(
         "n_rows", "n_parts", "hist_identical", "hll_identical", "cms_identical",
         "bloom_identical", "tdigest_ok", "kll_ok", "cms_weighted_ok")
+      } finally li.unpersist(false)
     },
     // 28. structured streaming: the events table replayed as a file stream,
     //     1-day event-time windows aggregated into histogram sketches
@@ -783,8 +800,10 @@ object SparkEntry {
         val windowed = graft.streaming.StreamingSketch.windowedHistogram(
           stream, "ets", "v", latencyLayout, "1 day", "1 minute")
         // ~30 daily windows of state: size the state-store partition count
-        // to the key count instead of the wide session default (see q32)
-        withShufflePartitions(s, 8) {
+        // from the event volume (floor 8 here — far fewer keys than the wide
+        // session default; grows with the stream at scale, see q32)
+        withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
+          batch.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
           val q = windowed.writeStream
             .outputMode("complete")
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -845,10 +864,11 @@ object SparkEntry {
         // state-store instances = shuffle partitions AT QUERY START (pinned
         // in the checkpoint); the aggregation state is ~30 daily windows, so
         // a wide session default (2x cores) would pay 8x the per-batch
-        // state-commit fixed cost for nothing. Size to the stateful key
-        // count; restore only after stop() — the first micro-batch reads
-        // the conf asynchronously after start() returns.
-        withShufflePartitions(s, 8) {
+        // state-commit fixed cost for nothing. Sized from the event volume
+        // (floor 8 here, grows with the stream); restore only after stop() —
+        // the first micro-batch reads the conf asynchronously after start().
+        withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
+          batch.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
           val q = windowed.writeStream
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -891,10 +911,12 @@ object SparkEntry {
     //     and the cluster count is bounded by the distinct-canonical-text
     //     count (which the oracle re-derives the doc count against).
     "q29_dedup_clustered" -> { (s, dir) =>
-      // same width treatment as q13: the pair graph, CC label frames, and
-      // check aggregations are all O(dup docs)
-      withShufflePartitions(s, 8) {
+      // same width treatment as q13: sized from the corpus row count so the
+      // pair graph, CC label frames, and check aggregations scale with input
       val docs = table(s, dir, "documents")
+      val pairWidth = graft.text.Dedup.pairGraphShuffleWidth(
+        docs.count(), s.sparkContext.defaultParallelism)
+      withShufflePartitions(s, pairWidth) {
       // the pair graph is the expensive part — computed ONCE and shared by
       // clustering and the representative drop (the 100 TB usage pattern)
       val pairs = graft.text.Dedup
@@ -1173,6 +1195,12 @@ object SparkEntry {
       // END is beyond that watermark; a window is emitted iff its end is at
       // or before the FINAL watermark (max overall ts - 1h). Window '1 day'
       // aligns to the epoch = date_trunc('day') in the UTC session.
+      // Spark's event-time stats truncate to MILLISECONDS before the delay
+      // subtraction while these timestamps carry microseconds — truncate the
+      // oracle's max(ts) the same way so both watermarks are bit-identical
+      // (comparisons are against day boundaries, so this only matters when
+      // max(ts) lands within 1ms above a day+1h boundary — but the oracle
+      // standard here is bit-identity, not near-certainty).
       """WITH b1 AS (
            SELECT ts, length(props) AS v FROM events
            WHERE event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-15'),
@@ -1184,14 +1212,14 @@ object SparkEntry {
            UNION ALL
            SELECT ts, v FROM b2
            WHERE date_trunc('day', ts) + INTERVAL 1 DAY >
-                 (SELECT max(ts) - INTERVAL 1 HOUR FROM b1)),
+                 (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR FROM b1)),
          agg AS (
            SELECT date_trunc('day', ts) AS window_start, count(*) AS n,
                   CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
            FROM kept GROUP BY 1)
          SELECT window_start, n, mn, mx FROM agg
          WHERE window_start + INTERVAL 1 DAY <=
-               (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+               (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR FROM events)
          ORDER BY window_start""",
     "q29_dedup_clustered" ->
       """SELECT count(*) AS n_docs, true AS rep_ok, true AS exact_dups_ok,

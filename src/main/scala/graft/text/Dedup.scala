@@ -38,6 +38,62 @@ object Dedup {
     if (planWidth(df) < par) df.repartition(par) else df
   }
 
+  /**
+   * Shuffle width for dedup pair-graph work, sized from the corpus row count
+   * instead of the session's data-sized default. Pair-graph frames (LSH
+   * bands, candidate pairs, CC labels) are O(dup docs) — tiny next to the
+   * corpus — so at small scale the stages are fixed-overhead-bound and a
+   * narrow width wins (measured: 64-wide shuffles on a 5k-doc corpus were
+   * pure task-count overhead); at large scale the width must grow with the
+   * data or everything funnels through `floor` tasks. ceil(rows /
+   * targetRowsPerTask) clamped to [floor, 4 x defaultParallelism] — the cap
+   * keeps task counts proportional to the cluster, the floor keeps small
+   * jobs from collapsing to one task.
+   */
+  def pairGraphShuffleWidth(
+      rows: Long,
+      defaultParallelism: Int,
+      targetRowsPerTask: Long = 4096L,
+      floor: Int = 8): Int = {
+    // overflow-safe ceil: rows + target - 1 would wrap near Long.MaxValue
+    val target = math.max(1L, targetRowsPerTask)
+    val ceilRows = rows / target + (if (rows % target > 0) 1L else 0L)
+    val byRows = math.min(Int.MaxValue.toLong, ceilRows).toInt
+    val cap = math.max(floor, 4 * math.max(1, defaultParallelism))
+    math.min(cap, math.max(floor, byRows))
+  }
+
+  /**
+   * Fail-fast guard for the driver-collected exact baselines: the quadratic
+   * ground-truth APIs collect the corpus to the driver before broadcasting,
+   * which is the right physical shape ONLY while the corpus fits in driver
+   * memory. A misuse at 100x scale must fail with a clear pointer to the
+   * scale path, not OOM the driver. The probe is a per-partition-limited
+   * count (`limit(cap+1)` short-circuits), so its cost is O(cap), not O(n).
+   */
+  private[text] def requireBroadcastable(
+      df: DataFrame,
+      maxRows: Int,
+      what: String,
+      alternative: String): Unit = {
+    val lim = if (maxRows == Int.MaxValue) Int.MaxValue else maxRows + 1
+    if (df.limit(lim).count() > maxRows) {
+      throw new IllegalArgumentException(
+        s"$what: corpus exceeds maxBroadcastRows=$maxRows. This is the driver-" +
+          s"collected exact ground-truth baseline; at scale use $alternative, " +
+          "or raise maxBroadcastRows if the corpus genuinely fits driver memory.")
+    }
+  }
+
+  /** Frees the cached blocks behind a `localCheckpoint()`ed frame. Only call
+   * once nothing references the frame anymore: localCheckpoint truncates
+   * lineage, so unpersisted blocks cannot be recomputed. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   val fingerprintUdf = udf((s: String) => TextFunctions.fingerprint64(s))
   val minhashUdf =
     udf((s: String, numHashes: Int, k: Int) => TextFunctions.minhashSignature(s, numHashes, k))
@@ -320,12 +376,13 @@ object Dedup {
     // tiny relative to the corpus, so the per-round joins touch O(dup docs)
     // rows, never the corpus — singletons (the overwhelming majority at
     // 100 TB) are their own cluster and join back in once at the end
-    var labels = sym
+    var ckpt = sym
       .select(col("src").as("id"))
       .distinct()
       .join(nodeIds, Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    var labels = ckpt
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -352,6 +409,11 @@ object Dedup {
           least(col("next"), coalesce(col("jlabel"), col("next"))).as("next"))
         .localCheckpoint()
       changed = updated.filter(col("next") < col("label")).count()
+      // the previous round's cached blocks are dead once `updated` is
+      // materialized (localCheckpoint is eager): free them immediately, or
+      // cached blocks accumulate linearly in rounds on large pair graphs
+      unpersistCheckpoint(ckpt)
+      ckpt = updated
       labels = updated.select(col("id"), col("next").as("label"))
       it += 1
     }
@@ -364,6 +426,9 @@ object Dedup {
     val singletons = nodeIds
       .join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
+    // the returned frame reads only the FINAL round's checkpoint (labels) and
+    // the caller's node frame — the symmetrized edge cache is out of lineage
+    unpersistCheckpoint(sym)
     (labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons), it)
   }
 
@@ -492,7 +557,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxBroadcastRows: Int = 4000000): DataFrame = {
+    requireBroadcastable(df, maxBroadcastRows, "jaccardPairsAboveBroadcast",
+      "nearDuplicatePairs (banded MinHash-LSH)")
     val spark = df.sparkSession
     import spark.implicits._
     val corpus: Array[(Long, Array[Long])] = df

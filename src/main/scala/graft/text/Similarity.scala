@@ -92,7 +92,10 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBroadcastRows: Int = 4000000): DataFrame = {
+    Dedup.requireBroadcastable(corpus, maxBroadcastRows, "cosineTopKBroadcast",
+      "ivfCosineTopK (distributed IVF ANN)")
     val spark = queries.sparkSession
     import spark.implicits._
     val corpusData: Array[(Long, Array[Double], Double)] = corpus
@@ -151,7 +154,10 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBroadcastRows: Int = 4000000): DataFrame = {
+    Dedup.requireBroadcastable(df, maxBroadcastRows, "cosinePairsAbove",
+      "Dedup.embeddingNearDuplicates (sign-LSH candidates + exact verify)")
     val spark = df.sparkSession
     import spark.implicits._
     val corpusData: Array[(Long, Array[Double], Double)] = df

@@ -243,16 +243,58 @@ class DedupSparkSpec extends AnyFunSuite {
     val n = 200
     val nodes = (0 until n).map(_.toLong).toDF("id")
     val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(nodes, edges)
     val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == n && cc.values.forall(_ == 0L),
       s"chain not fully labeled with the component minimum")
     assert(rounds <= 12, s"200-chain took $rounds rounds — pointer jumping not effective")
+    // per-round checkpoints must be FREED as rounds supersede them: after ~9
+    // rounds only the final label checkpoint may remain cached (the edge
+    // cache and every superseded round are unpersisted)
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 1,
+      s"CC leaked cached RDDs: $cachedBefore -> $cachedAfter over $rounds rounds")
     // and the worst-case ORDER still holds: doubling the chain adds ~1 round
     val nodes2 = (0 until 2 * n).map(_.toLong).toDF("id")
     val edges2 = (0 until 2 * n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val (_, rounds2) = Dedup.connectedComponentsWithRounds(nodes2, edges2)
     assert(rounds2 <= rounds + 2, s"rounds not logarithmic: $rounds -> $rounds2")
+  }
+
+  test("pairGraphShuffleWidth scales with rows and clamps to [floor, 4x parallelism]") {
+    // driver-query regime: sf0.01/sf0.1 corpora stay at the floor (the
+    // measured fixed-cost win), larger corpora grow with the data
+    assert(Dedup.pairGraphShuffleWidth(500L, 32) == 8)
+    assert(Dedup.pairGraphShuffleWidth(5000L, 32) == 8)
+    assert(Dedup.pairGraphShuffleWidth(100000L, 32) == 25) // ceil(100000/4096)
+    assert(Dedup.pairGraphShuffleWidth(10000000L, 32) == 128) // cap = 4*32
+    assert(Dedup.pairGraphShuffleWidth(10000000L, 1024) == 2442) // under a bigger cluster's cap
+    assert(Dedup.pairGraphShuffleWidth(0L, 1) == 8)
+    assert(Dedup.pairGraphShuffleWidth(Long.MaxValue, 1000000) == 4000000)
+    // streaming-state regime (coarser target): local event tables stay at 8
+    assert(Dedup.pairGraphShuffleWidth(100000L, 32, targetRowsPerTask = 50000L) == 8)
+    assert(Dedup.pairGraphShuffleWidth(10000000L, 32, targetRowsPerTask = 50000L) == 128)
+  }
+
+  test("broadcast exact baselines fail fast past the corpus row cap") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, s"doc number $i words")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsAboveBroadcast(docs, "doc_id", "text", 0.5, maxBroadcastRows = 4)
+    }
+    assert(e1.getMessage.contains("nearDuplicatePairs"), e1.getMessage)
+    val vecs = (0 until 10).map(i => (i.toLong, Seq.fill(4)(i.toFloat))).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineTopKBroadcast(vecs, vecs, "id", "v", 3, maxBroadcastRows = 4)
+    }
+    assert(e2.getMessage.contains("ivfCosineTopK"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsAbove(vecs, "id", "v", 0.9, maxBroadcastRows = 4)
+    }
+    assert(e3.getMessage.contains("embeddingNearDuplicates"), e3.getMessage)
+    // under the cap the baselines still run
+    assert(Dedup.jaccardPairsAboveBroadcast(docs, "doc_id", "text", 0.99).count() == 0L)
   }
 
   test("widen width probe launches NO Spark job (plan metadata only)") {
