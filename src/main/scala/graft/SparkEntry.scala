@@ -70,6 +70,9 @@ object SparkEntry {
   // coarse boundaries are a subset of priceBoundaries, so re-binning the fine
   // sketch is EXACT (every fine bin maps wholly into one coarse bin)
   private val coarsePriceBoundaries = Seq(0.0, 4000.0, 16000.0, 64000.0)
+  // doc-length custom bins for the pure-SQL surface query (q33); 0/200/800 is
+  // a subset, so its hist_rebin_custom check is exact
+  private val docLenBoundaries = Seq(0.0, 50.0, 100.0, 200.0, 400.0, 800.0, 1600.0, 3200.0)
 
   /**
    * Exact SciPy-mquantiles (alphap=betap=0.4) per-group quantiles via
@@ -1013,6 +1016,100 @@ object SparkEntry {
         .jaccardPairsAboveBroadcast(sample, "doc_id", "text", threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     },
+    // 33. the SQL-registered function surface end-to-end: besides the temp-
+    //     view staging, the whole query is ONE SQL string resolved through
+    //     the injected FunctionRegistry builders (hist_sketch_custom
+    //     aggregate with layout literals; hist_bins/hist_total/hist_min/
+    //     hist_max/hist_quantile scalars; hist_rebin_custom) — the entry
+    //     path a SQL-only user hits first. Per-source doc-length bin counts
+    //     are re-derived exactly by the oracle from the same boundaries; the
+    //     ok-conjunction pins total/min/max to exact SQL aggregates and the
+    //     re-binned total to the row count.
+    "q33_sql_surface" -> { (s, dir) =>
+      graft.spark.functions.registerAll(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      val bounds = docLenBoundaries.map(dlit).mkString(", ")
+      s.sql(
+        s"""WITH d AS (
+           |  SELECT source, CAST(length(text) AS DOUBLE) AS v FROM graft_documents),
+           |skt AS (
+           |  SELECT source, hist_sketch_custom(v, $bounds) AS sk FROM d GROUP BY source),
+           |ex AS (
+           |  SELECT source, count(*) AS n, min(v) AS mn, max(v) AS mx FROM d GROUP BY source)
+           |SELECT skt.source AS source, b.bin_index AS bin_index, b.cnt AS cnt,
+           |       (hist_total(skt.sk) = ex.n AND
+           |        hist_min(skt.sk) = ex.mn AND
+           |        hist_max(skt.sk) = ex.mx AND
+           |        hist_quantile(skt.sk, 0.5) BETWEEN ex.mn AND ex.mx AND
+           |        hist_total(hist_rebin_custom(skt.sk, 0.0, 200.0, 800.0)) = ex.n) AS ok
+           |FROM skt JOIN ex ON skt.source = ex.source
+           |LATERAL VIEW explode(hist_bins(skt.sk)) t AS b""".stripMargin)
+    },
+    // 34. stateful per-key streaming (flatMapGroupsWithState): events
+    //     replayed as TWO micro-batches into per-key running histogram
+    //     sketches (Update mode — state must carry across batches); the
+    //     final per-key emission (the row with the largest running total)
+    //     carries the exact count/min/max of ALL the key's rows across both
+    //     batches, which the oracle re-derives per event_type.
+    "q34_streaming_stateful" -> { (s, dir) =>
+      import s.implicits._
+      val batch = table(s, dir, "events")
+        .select(
+          col("event_type").as("k"),
+          length(col("props")).cast("double").as("v"),
+          col("event_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
+      try {
+        val in = s"$tmp/in"
+        val out = s"$tmp/out"
+        val isBatch1 = col("event_id") % 2 === 0
+        batch.filter(isBatch1).drop("event_id").write.parquet(in)
+        val stream = s.readStream
+          .schema("k string, v double")
+          .parquet(in)
+          .select(col("k").as("_1"), col("v").as("_2"))
+          .as[(String, Double)]
+        val stateful = graft.streaming.StreamingSketch
+          .statefulPerKeyHistogramSketch(stream, latencyLayout)
+          .toDF("k", "n", "sketch")
+        // state keys = distinct event types (a handful): size the state-store
+        // partition count from the event volume like q28/q32
+        withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
+          batch.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
+          val q = stateful.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable()
+          batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
+          q.processAllAvailable()
+          q.stop()
+        }
+        // one emission per (key, batch that touched it): the final state row
+        // per key is the one with the largest running total (counts only
+        // grow, and a key absent from a batch emits nothing). Materialize
+        // before the temp dir is deleted — O(distinct event types) rows.
+        val rows = s.read
+          .parquet(out)
+          .groupBy(col("k"))
+          .agg(max(struct(col("n"), col("sketch"))).as("fin"))
+          .select(
+            col("k"),
+            col("fin.n").as("n"),
+            hist_min(col("fin.sketch")).as("mn"),
+            hist_max(col("fin.sketch")).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .toSeq
+        rows.toDF("k", "n", "mn", "mx")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -1232,6 +1329,16 @@ object SparkEntry {
                 CAST(3 * (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)
                   AS BIGINT) AS n_pairs,
                 true AS all_planted_found, true AS only_planted""",
+    "q33_sql_surface" ->
+      s"""WITH d AS (SELECT source, CAST(length(text) AS DOUBLE) AS v FROM documents)
+          SELECT source, ${customBinCaseSql("v", docLenBoundaries)} AS bin_index,
+                 count(*) AS cnt, true AS ok
+          FROM d GROUP BY 1, 2""",
+    "q34_streaming_stateful" ->
+      """SELECT event_type AS k, count(*) AS n,
+                CAST(min(length(props)) AS DOUBLE) AS mn,
+                CAST(max(length(props)) AS DOUBLE) AS mx
+         FROM events GROUP BY 1""",
     "q31_ngram_jaccard" ->
       """WITH canon AS (
            SELECT doc_id,

@@ -34,6 +34,28 @@ object StreamingSketch {
         graft.spark.functions.hist_quantile(col("sketch"), 0.5).as("p50"),
         col("sketch"))
 
+  /** [[statefulPerKeyHistogram]] variant that emits the key's full updated
+   * sketch bytes each micro-batch — the shape for downstream sinks that
+   * keep the latest per-key sketch row (any histogram query can then run on
+   * the final state: total/min/max/quantiles/bins). */
+  def statefulPerKeyHistogramSketch(
+      rows: Dataset[(String, Double)],
+      layout: Layout): Dataset[(String, Long, Array[Byte])] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, values: Iterator[(String, Double)], state: GroupState[Array[Byte]]) => {
+          val h =
+            if (state.exists) SketchEnvelope.fromBytes(state.get)
+            else graft.core.Histogram(layout)
+          values.foreach(v => h.addValue(v._2))
+          val bytes = SketchEnvelope.toBytes(h)
+          state.update(bytes)
+          Iterator.single((key, h.totalCount, bytes))
+        })
+  }
+
   /** Per-key running sketch state: each micro-batch's values merge into the
    * key's serialized sketch; emits (key, total, p50) after every update. */
   def statefulPerKeyHistogram(

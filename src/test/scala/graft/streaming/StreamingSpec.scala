@@ -232,6 +232,57 @@ class StreamingSpec extends AnyFunSuite {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("stateful per-key SKETCH emission: final sketch is byte-identical to a batch build") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    try {
+      val rnd = new java.util.SplittableRandom(7L)
+      val batch1 = (0 until 3000).map(i => (s"k${i % 2}", rnd.nextDouble() * 50))
+      val batch2 = (0 until 3000).map(i => (s"k${i % 2}", 50 + rnd.nextDouble() * 50))
+      batch1.toDF("k", "v").write.parquet(s"$tmp/in")
+      val stream = spark.readStream
+        .schema("k string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+        .as[(String, Double)]
+      val q = StreamingSketch
+        .statefulPerKeyHistogramSketch(stream, layout)
+        .toDF("k", "n", "sketch")
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("stateful_sketch_out")
+        .start()
+      try {
+        q.processAllAvailable()
+        batch2.toDF("k", "v").write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      } finally q.stop()
+      val finalSketches = spark
+        .table("stateful_sketch_out")
+        .groupBy(col("k"))
+        .agg(max(struct(col("n"), col("sketch"))).as("f"))
+        .select(col("k"), col("f.sketch"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .toMap
+      // final emitted state == a single-pass kernel build over ALL the key's
+      // rows, byte for byte (insertion order within a key is file order)
+      (batch1 ++ batch2).groupBy(_._1).foreach { case (k, rows) =>
+        val h = graft.core.Histogram(layout)
+        rows.foreach(r => h.addValue(r._2))
+        assert(
+          java.util.Arrays.equals(
+            finalSketches(k),
+            graft.core.SketchEnvelope.toBytes(h)),
+          s"key $k: streamed state != batch build")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
