@@ -436,11 +436,15 @@ object SparkEntry {
       Seq((nDocs, nDistinct, allSimilar)).toDF("n_docs", "n_distinct", "collisions_similar")
     },
     // 15. exact embedding similarity search: brute-force top-1 neighbors,
-    //     fully re-derived by the oracle via list_cosine_similarity
+    //     fully re-derived by the oracle via list_cosine_similarity. Runs
+    //     the fully-distributed exact variant (executor-side broadcast()
+    //     join + bounded top-k aggregation — nothing corpus-sized touches
+    //     the driver); the driver-collected cosineTopKBroadcast baseline
+    //     stays test-covered.
     "q15_embedding_topk" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       graft.text.Similarity
-        .cosineTopKBroadcast(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 1)
+        .cosineTopKDistributed(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 1)
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"))
         .orderBy(col("query_id"))

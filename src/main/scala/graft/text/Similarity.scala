@@ -145,6 +145,85 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Bounded top-k aggregator over (cosine, neighbor_id): every partial
+   * buffer is trimmed to k entries, so after map-side combine the shuffle
+   * carries at most k rows per (query, partition) — a distributed top-k
+   * with no global window sort. Ordering (cosine desc, neighbor_id asc)
+   * matches [[cosineTopK]]. */
+  private final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long),
+        scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        Seq[(Long, Double, Int)]] {
+    import scala.collection.mutable.ArrayBuffer
+    private def top(b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
+      if (b.length <= k) b
+      else ArrayBuffer.from(b.sortBy { case (c, id) => (-c, id) }.take(k))
+    override def zero: ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
+    override def reduce(
+        b: ArrayBuffer[(Double, Long)],
+        a: (Double, Long)): ArrayBuffer[(Double, Long)] = {
+      b += a
+      // amortized trim: let the buffer grow a few multiples of k, then cut
+      if (b.length >= 4 * k + 16) top(b) else b
+    }
+    override def merge(
+        b1: ArrayBuffer[(Double, Long)],
+        b2: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
+      top(b1 ++= b2)
+    override def finish(b: ArrayBuffer[(Double, Long)]): Seq[(Long, Double, Int)] =
+      b.sortBy { case (c, id) => (-c, id) }
+        .take(k)
+        .iterator
+        .zipWithIndex
+        .map { case ((c, id), i) => (id, c, i + 1) }
+        .toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[ArrayBuffer[(Double, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[ArrayBuffer[(Double, Long)]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double, Int)]]()
+  }
+
+  /**
+   * Exact top-k with nothing routed through the driver: the corpus ships to
+   * executors as a `broadcast()` join side (executor-side exchange — no
+   * driver-side collect, unlike [[cosineTopKBroadcast]]), pairs are scored
+   * with the compiled cosine UDF, and a bounded top-k aggregator
+   * (partial+final ObjectHashAggregate, <= k rows per query per partition
+   * after map-side combine) replaces the global window sort of
+   * [[cosineTopK]]. Results are identical to both exact variants (ties by
+   * ascending neighbor id). The brute-force scoring stays quadratic — this
+   * is the exact baseline's scale-safe HARNESS; the sub-quadratic answer is
+   * [[ivfCosineTopK]].
+   */
+  def cosineTopKDistributed(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val topk = udaf(
+      new TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        fastCosineUdf(col("qv"), col("cv")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("nb"))
+      .select(col("query_id"), explode(col("nb")).as("e"))
+      .select(
+        col("query_id"),
+        col("e._1").as("neighbor_id"),
+        col("e._2").as("cosine"),
+        col("e._3").as("rank"))
+  }
+
   /**
    * Exact all-pairs with cosine >= threshold via the broadcast corpus
    * (emitted once, id_a < id_b). Quadratic — the ground-truth baseline for

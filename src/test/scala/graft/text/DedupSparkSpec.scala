@@ -390,6 +390,29 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("distributed top-k (broadcast join + bounded agg) is identical, no driver collect") {
+    val base = Similarity
+      .cosineTopK(vecsDf.limit(40), vecsDf, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val dist = Similarity
+      .cosineTopKDistributed(vecsDf.limit(40), vecsDf, "vec_id", "embedding", k = 3)
+    val got = dist
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(base == got)
+    // the corpus side must be an executor-side broadcast exchange, and the
+    // top-k must partial-aggregate (map-side combine bounds the shuffle to
+    // k rows per query per partition)
+    val plan = dist.queryExecution.sparkPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+  }
+
   test("embedding near-duplicate pairs: LSH recall >=90% vs exact pairs") {
     val exact = Similarity
       .cosinePairsAbove(vecsDf, "vec_id", "embedding", threshold = 0.9)
