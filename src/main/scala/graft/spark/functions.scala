@@ -300,5 +300,37 @@ object functions {
     spark.udf.register("cms_estimate", cmsEstimateUdf)
     spark.udf.register("tdigest_quantile", tdigestQuantileUdf)
     spark.udf.register("kll_quantile", kllQuantileUdf)
+    // text-analysis / dedup scalar surface for SQL-only users (the column
+    // values these compute are oracle-covered through q10/q11/q12/q14/q17;
+    // SQL resolution parity is asserted in ExpressionSpec)
+    spark.udf.register("token_count", (s: String) => graft.text.TextFunctions.tokenCount(s))
+    spark.udf.register(
+      "bpeish_token_count",
+      (s: String) => graft.text.TextFunctions.bpeishTokenCount(s))
+    spark.udf.register("quality_score", (s: String) => graft.text.TextFunctions.qualityScore(s))
+    spark.udf.register("lang_id", (s: String) => graft.text.TextFunctions.langId(s))
+    spark.udf.register("doc_fingerprint", (s: String) => graft.text.TextFunctions.fingerprint64(s))
+    spark.udf.register("simhash64", (s: String) => graft.text.TextFunctions.simhash64(s))
+    spark.udf.register(
+      "hamming64",
+      (a: Long, b: Long) => graft.text.TextFunctions.hammingDistance(a, b))
+    spark.udf.register(
+      "shingle_jaccard",
+      (a: String, b: String, k: Int) => graft.text.TextFunctions.shingleJaccard(a, b, k))
+    spark.udf.register(
+      "minhash_signature",
+      (s: String, numHashes: Int, k: Int) =>
+        graft.text.TextFunctions.minhashSignature(s, numHashes, k))
+    spark.udf.register(
+      "cosine_sim",
+      (a: Seq[Float], b: Seq[Float]) => {
+        val len = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < len) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      })
   }
 }

@@ -381,6 +381,49 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r2.getLong(0) == rows.map(_._2).sum)
   }
 
+  test("SQL surface: text-analysis and similarity scalars resolve and match direct calls") {
+    functions.registerAll(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs away fast."),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (3L, "abcdefg 1234567 !!!???"))
+    docs.toDF("id", "text").createOrReplaceTempView("sql_docs")
+    val rows = spark
+      .sql("""SELECT id, token_count(text) AS tc, bpeish_token_count(text) AS btc,
+                     quality_score(text) AS q, lang_id(text) AS lang,
+                     doc_fingerprint(text) AS fp, simhash64(text) AS sh,
+                     size(minhash_signature(text, 16, 3)) AS mh
+              FROM sql_docs ORDER BY id""")
+      .collect()
+    docs.zip(rows).foreach { case ((_, text), r) =>
+      assert(r.getInt(1) == graft.text.TextFunctions.tokenCount(text))
+      assert(r.getInt(2) == graft.text.TextFunctions.bpeishTokenCount(text))
+      assert(r.getDouble(3) == graft.text.TextFunctions.qualityScore(text))
+      assert(r.getString(4) == graft.text.TextFunctions.langId(text))
+      assert(r.getLong(5) == graft.text.TextFunctions.fingerprint64(text))
+      assert(r.getLong(6) == graft.text.TextFunctions.simhash64(text))
+      assert(r.getInt(7) == 16)
+    }
+    // pairwise scalars: simhash distance of near-identical docs is small,
+    // shingle jaccard matches the kernel, cosine_sim matches double math
+    val pair = spark
+      .sql("""SELECT hamming64(simhash64(a.text), simhash64(b.text)) AS hd,
+                     shingle_jaccard(a.text, b.text, 3) AS j
+              FROM sql_docs a JOIN sql_docs b ON a.id = 1 AND b.id = 2""")
+      .collect()(0)
+    assert(pair.getInt(0) == graft.text.TextFunctions.hammingDistance(
+      graft.text.TextFunctions.simhash64(docs(0)._2),
+      graft.text.TextFunctions.simhash64(docs(1)._2)))
+    assert(pair.getDouble(1) ==
+      graft.text.TextFunctions.shingleJaccard(docs(0)._2, docs(1)._2, 3))
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+      .createOrReplaceTempView("sql_vecs")
+    val cos = spark.sql("SELECT cosine_sim(a, b) AS c FROM sql_vecs").collect()(0).getDouble(0)
+    assert(math.abs(cos - 10.0 / 14.0) < 1e-12)
+  }
+
   test("many-group sketch aggregation is correct past the object-hash fallback threshold") {
     import spark.implicits._
     // 20k groups >> spark.sql.objectHashAggregate.sortBased.fallbackThreshold
