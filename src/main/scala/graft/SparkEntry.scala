@@ -1114,6 +1114,55 @@ object SparkEntry {
         new Directory(new java.io.File(tmp)).deleteRecursively()
       }
     },
+    // 35. streaming exact dedup: documents replayed as TWO micro-batches
+    //     through fingerprint dropDuplicates whose state carries across
+    //     batches — a batch-2 duplicate of a batch-1 document must be
+    //     suppressed. Per-phase emission counts are deterministic (distinct
+    //     canonical texts per batch, minus batch-1's set) and the oracle
+    //     re-derives both from the same canonicalization as q12.
+    "q35_streaming_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      try {
+        val in = s"$tmp/in"
+        val out = s"$tmp/out"
+        val isB1 = col("doc_id") % 2 === 0
+        docs.filter(isB1).write.parquet(in)
+        val stream = s.readStream.schema("doc_id long, text string").parquet(in)
+        val deduped = graft.streaming.StreamingSketch.streamingExactDedup(stream, "text")
+        // dedup state = one 8-byte fingerprint per distinct doc: size the
+        // state-store width from the corpus like the other streaming queries
+        withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
+          docs.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
+          val q = deduped.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable()
+          val nB1 = s.read.parquet(out).count()
+          docs.filter(!isB1).write.mode("append").parquet(in)
+          q.processAllAvailable()
+          q.stop()
+          val outDf = s.read.parquet(out)
+          val (nTotal, nDistinctFp) = {
+            val r = outDf
+              .agg(count(lit(1)), countDistinct(col("fp")))
+              .collect()(0)
+            (r.getLong(0), r.getLong(1))
+          }
+          val nIn = docs.count()
+          Seq((nIn, nB1, nTotal - nB1, nDistinctFp == nTotal))
+            .toDF("n_in", "n_b1", "n_b2", "no_dup_in_output")
+        }
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
     // 9. partitioning invariance: byte-identical sketches at 1 vs 32
     //    partitions and via salted two-phase aggregation
     "q09_hist_merge_invariance" -> { (s, dir) =>
@@ -1363,6 +1412,21 @@ object SparkEntry {
                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                     len(list_distinct(list_concat(a.s, b.s))) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
+    "q35_streaming_dedup" ->
+      // batch 1 = even doc_ids; emissions per phase are exact: batch 1
+      // emits one row per distinct canonical text among even ids, batch 2
+      // one per distinct canonical text among odd ids NOT already seen in
+      // batch 1 (the cross-batch state suppression under test). Same
+      // canonicalization as q12's exact dedup.
+      """WITH canon AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS c
+           FROM documents),
+         b1 AS (SELECT DISTINCT c FROM canon WHERE doc_id % 2 = 0)
+         SELECT (SELECT count(*) FROM canon) AS n_in,
+                (SELECT count(*) FROM b1) AS n_b1,
+                (SELECT count(DISTINCT c) FROM canon
+                 WHERE doc_id % 2 = 1 AND c NOT IN (SELECT c FROM b1)) AS n_b2,
+                true AS no_dup_in_output"""
   )
 }

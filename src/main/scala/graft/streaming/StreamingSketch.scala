@@ -56,6 +56,36 @@ object StreamingSketch {
         })
   }
 
+  /** Streaming exact deduplication: canonical-fingerprint `dropDuplicates`
+   * whose state — one 8-byte key per distinct document, never the text —
+   * carries across micro-batches, so a duplicate arriving any number of
+   * batches after its first occurrence is suppressed. This is the
+   * streaming form of [[graft.text.Dedup]]'s exact dedup (same canonical
+   * 64-bit fingerprint; representative = first-processed occurrence rather
+   * than min-id): exactly one output row per distinct canonical text. When
+   * event-time retention bounds are acceptable, compose `withWatermark` +
+   * `dropDuplicatesWithinWatermark` instead to keep state finite. */
+  def streamingExactDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", graft.text.Dedup.fingerprintUdf(col(textCol)))
+      .dropDuplicates("fp")
+
+  /** Bounded-state variant of [[streamingExactDedup]]: a duplicate is
+   * suppressed only while its first occurrence's dedup state is inside the
+   * watermark delay; the state store evicts expired fingerprints as the
+   * event-time watermark advances, so state stays finite on an unbounded
+   * stream (a re-occurrence after eviction re-emits — the standard
+   * retention trade for infinite-stream dedup). */
+  def streamingExactDedupWithinWatermark(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      delay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .withColumn("fp", graft.text.Dedup.fingerprintUdf(col(textCol)))
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-key running sketch state: each micro-batch's values merge into the
    * key's serialized sketch; emits (key, total, p50) after every update. */
   def statefulPerKeyHistogram(

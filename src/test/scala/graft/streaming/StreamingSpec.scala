@@ -233,6 +233,101 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming exact dedup suppresses duplicates ACROSS micro-batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_t").toString
+    try {
+      // batch 2 carries: an exact copy of a batch-1 doc (1L), a whitespace/
+      // case variant of another (2L), an intra-batch duplicate pair (40/41),
+      // and one genuinely new doc (42L)
+      val batch1 = Seq(
+        (1L, "alpha beta gamma"),
+        (2L, "delta epsilon zeta"),
+        (3L, "eta theta iota"))
+      val batch2 = Seq(
+        (10L, "alpha beta gamma"),
+        (20L, "  Delta   EPSILON zeta  "),
+        (40L, "kappa lambda mu"),
+        (41L, "kappa lambda mu"),
+        (42L, "nu xi omicron"))
+      batch1.toDF("doc_id", "text").write.parquet(s"$tmp/in")
+      val stream = spark.readStream.schema("doc_id long, text string").parquet(s"$tmp/in")
+      val q = StreamingSketch
+        .streamingExactDedup(stream, "text")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.read.parquet(s"$tmp/out").count() == 3L)
+        batch2.toDF("doc_id", "text").write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.read.parquet(s"$tmp/out").select("doc_id", "fp").collect()
+      // batch 2 adds only the two NEW distinct texts (one of 40/41, and 42)
+      assert(out.length == 5, out.mkString(","))
+      assert(out.map(_.getLong(1)).distinct.length == 5)
+      val ids = out.map(_.getLong(0)).toSet
+      assert(Set(1L, 2L, 3L, 42L).subsetOf(ids))
+      assert((ids & Set(10L, 20L)).isEmpty) // cross-batch dups suppressed
+      assert((ids & Set(40L, 41L)).size == 1) // intra-batch pair collapsed
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("within-watermark dedup: suppressed inside the delay, state evicted after") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_wm").toString
+    try {
+      def write(rows: Seq[(Long, String, String)], mode: String): Unit =
+        rows
+          .toDF("doc_id", "text", "ts_s")
+          .select(col("doc_id"), col("text"), col("ts_s").cast("timestamp").as("ts"))
+          .write
+          .mode(mode)
+          .parquet(s"$tmp/in")
+      // delay 10s. b1: A at t=0. b2: dup of A at t=5 (inside delay ->
+      // suppressed) + an advancer at t=100 (watermark after b2 = 90s >
+      // A's expiry, so A's state is evicted). b3: dup of A at t=95 (>
+      // watermark 90, not late) -> re-emitted because the state is gone.
+      write(Seq((1L, "alpha beta gamma", "2024-01-01 00:00:00")), "overwrite")
+      val stream = spark.readStream
+        .schema("doc_id long, text string, ts timestamp")
+        .parquet(s"$tmp/in")
+      val q = StreamingSketch
+        .streamingExactDedupWithinWatermark(stream, "text", "ts", "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        write(Seq(
+          (2L, "alpha beta gamma", "2024-01-01 00:00:05"),
+          (3L, "watermark advancer", "2024-01-01 00:01:40")), "append")
+        q.processAllAvailable()
+        write(Seq((4L, "alpha beta gamma", "2024-01-01 00:01:35")), "append")
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = spark.read.parquet(s"$tmp/out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(3L), ids)
+      assert(!ids.contains(2L), s"within-delay duplicate re-emitted: $ids")
+      assert(ids.contains(4L), s"post-eviction re-occurrence was NOT re-emitted: $ids")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("stateful per-key SKETCH emission: final sketch is byte-identical to a batch build") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
