@@ -442,12 +442,24 @@ object SparkEntry {
     //     the driver); the driver-collected cosineTopKBroadcast baseline
     //     stays test-covered.
     "q15_embedding_topk" -> { (s, dir) =>
+      import s.implicits._
       val emb = table(s, dir, "embeddings")
-      graft.text.Similarity
-        .cosineTopKDistributed(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 1)
-        .filter(col("rank") === 1)
-        .select(col("query_id"), col("neighbor_id"))
-        .orderBy(col("query_id"))
+      val queries = emb.filter(col("vec_id") < 20)
+      // the top-k agg shuffles <= k rows per QUERY per partition: size the
+      // shuffle width from the query count, not the session default (the
+      // 64-wide final agg for 20 groups was pure task-count overhead)
+      val rows = withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
+        queries.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 1000L)) {
+        graft.text.Similarity
+          .cosineTopKDistributed(queries, emb, "vec_id", "embedding", k = 1)
+          .filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+          .orderBy(col("query_id"))
+          .collect() // O(queries) rows; materialize inside the width block
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSeq
+      }
+      rows.toDF("query_id", "neighbor_id")
     },
     // 16. IVF ANN recall vs brute force (the 100 TB scale path). The ground
     //     truth is computed only for a deterministic hash-sample of queries
