@@ -555,21 +555,51 @@ object SparkEntry {
     //     byte accounting is re-derived exactly by the oracle
     "q19_multimodal" -> { (s, dir) =>
       import s.implicits._
-      val media = table(s, dir, "documents")
+      val docs = table(s, dir, "documents")
+      // opaque payloads (document bytes) exercise the stub fallback; PLANTED
+      // REAL PNGs (one per doc_id % 100 == 0, encoded executor-side with
+      // dimensions derived from doc_id) exercise the JDK ImageIO decode —
+      // the oracle recomputes the planted count and the decoded width/height
+      // sums from the same doc_id arithmetic.
+      val plantOffset = 1000000000000L
+      val opaque = docs
         .select(
           col("doc_id").as("media_id"),
           lit("image").as("media_type"),
           encode(col("text"), "UTF-8").as("media"),
           col("source"))
         .as[graft.multimodal.MediaRow]
-      val feats = graft.multimodal.Multimodal.extractFeatures(media)
+      val planted = docs
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 64 + (id % 32).toInt
+          val h = 64 + (id % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = 0x606060 + (id % 64).toInt // constant non-black fill
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          graft.multimodal.MediaRow(plantOffset + id, "image", baos.toByteArray, "planted")
+        }
+      val feats = graft.multimodal.Multimodal.extractFeatures(opaque.unionByName(planted))
       feats
         .toDF()
         .agg(
           count(lit(1)).as("n_items"),
-          sum(col("n_bytes")).as("total_bytes"),
+          sum(when(col("media_id") < plantOffset, col("n_bytes"))).as("total_bytes"),
           min(size(col("embedding"))).as("emb_dim"),
-          (min(col("width")) >= 64).as("decode_ok"))
+          (min(col("width")) >= 64).as("decode_ok"),
+          sum(col("decoded").cast("long")).as("n_real_decoded"),
+          sum(when(col("decoded"), col("width").cast("long"))).as("sum_real_width"),
+          sum(when(col("decoded"), col("height").cast("long"))).as("sum_real_height"))
     },
     // 20. OpenTelemetry exponential-buckets layout: exploded bin counts,
     //     re-counted by the oracle against the layout's own exact bin
@@ -1283,9 +1313,21 @@ object SparkEntry {
       """SELECT count(*) AS rows_consumed, true AS resume_ok, true AS result_equal,
                 true AS lineage_ok FROM lineitem""",
     "q19_multimodal" ->
-      """SELECT count(*) AS n_items,
+      // the planted-PNG leg is REAL ImageIO decode: the oracle recomputes
+      // the planted count and the decoded width/height sums from the same
+      // doc_id arithmetic the query used to SIZE the images it encoded
+      """SELECT CAST((SELECT count(*) FROM documents)
+                   + (SELECT count(*) FROM documents WHERE doc_id % 100 = 0)
+                  AS BIGINT) AS n_items,
                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-                16 AS emb_dim, true AS decode_ok FROM documents""",
+                16 AS emb_dim, true AS decode_ok,
+                CAST((SELECT count(*) FROM documents WHERE doc_id % 100 = 0)
+                  AS BIGINT) AS n_real_decoded,
+                CAST((SELECT sum(64 + doc_id % 32) FROM documents
+                      WHERE doc_id % 100 = 0) AS BIGINT) AS sum_real_width,
+                CAST((SELECT sum(64 + doc_id % 16) FROM documents
+                      WHERE doc_id % 100 = 0) AS BIGINT) AS sum_real_height
+         FROM documents""",
     "q21_transcript_stats" ->
       """SELECT event_type AS role, count(*) AS n_turns,
                 CAST(min(length(props)) AS DOUBLE) AS mn_len,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 final case class MediaRow(
     media_id: Long,
     media_type: String, // "image" | "audio" | "video"
-    media: Array[Byte], // opaque payload (decode is a stub in this sandbox)
+    media: Array[Byte], // opaque payload
     source: String)
 
 /** Decoded/extracted features for one media item. */
@@ -15,11 +15,12 @@ final case class MediaFeatures(
     media_id: Long,
     media_type: String,
     n_bytes: Long,
-    width: Int, // stubbed decode metadata
+    width: Int,
     height: Int,
     duration_ms: Int,
-    embedding: Array[Float], // stubbed feature vector (deterministic)
-    n_frames_sampled: Int)
+    embedding: Array[Float],
+    n_frames_sampled: Int,
+    decoded: Boolean) // true = a REAL codec decoded the payload
 
 /**
  * Multimodal-column plumbing: media as opaque `binary` columns with typed
@@ -27,17 +28,77 @@ final case class MediaFeatures(
  * Scala analogue of a Pandas-UDF `mapInPandas` pipeline — same batch shape,
  * schema contract, and partitioning concerns).
  *
- * The decode step is a clearly-marked STUB: the image/audio codecs are not
- * present in this container, so `decodeStub` derives deterministic fake
- * dimensions/durations and a deterministic pooled byte-histogram embedding
- * from the raw bytes. Everything around it — schema, batching, partition
- * sizing by payload bytes, feature extraction shape, frame sampling — is the
- * real distributed plumbing a production decoder would drop into.
+ * Decode is REAL where the JDK carries a codec: images (PNG/JPEG/BMP/GIF via
+ * `javax.imageio`, headless-safe) and audio (RIFF/WAV PCM via
+ * `javax.sound.sampled`) are actually decoded — exact pixel dimensions, a
+ * content-based 4x4 grid mean-luminance embedding, exact PCM duration.
+ * Payloads no JDK codec can parse (video containers, or bytes that are not
+ * media at all) fall back to the clearly-marked deterministic STUB so the
+ * pipeline shape stays total; `MediaFeatures.decoded` records which path a
+ * row took.
  */
 object Multimodal {
 
-  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
-   * Replace with a real codec (JPEG/PNG/FFmpeg) outside this sandbox. */
+  /** REAL image decode via the JDK's built-in ImageIO (PNG/JPEG/BMP/GIF, no
+   * external codecs, no display needed): exact (width, height) plus a 16-dim
+   * content embedding — mean luminance over a 4x4 grid, L2-normalized (a
+   * miniature pooled feature head). None when the payload is not a decodable
+   * image. */
+  private[multimodal] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val acc = new Array[Double](16)
+        val cnt = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(3, y * 4 / h)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(3, x * 4 / w)
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val g = gy * 4 + gx
+            acc(g) += lum
+            cnt(g) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val emb = new Array[Float](16)
+        var i = 0
+        while (i < 16) {
+          emb(i) = if (cnt(i) > 0) (acc(i) / cnt(i)).toFloat else 0f
+          i += 1
+        }
+        val n = math.sqrt(emb.map(v => v.toDouble * v).sum)
+        if (n > 0) {
+          var j = 0
+          while (j < 16) { emb(j) = (emb(j) / n).toFloat; j += 1 }
+        }
+        Some((w, h, emb))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode via the JDK's built-in WAV reader: exact duration in
+   * milliseconds from the PCM frame count and rate. None when the payload is
+   * not parseable audio. */
+  private[multimodal] def decodeAudio(bytes: Array[Byte]): Option[Int] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val frames = ais.getFrameLength
+      val rate = ais.getFormat.getFrameRate
+      if (frames > 0 && rate > 0) Some((frames * 1000.0 / rate).toInt) else None
+    } catch { case _: Exception => None }
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes —
+   * the fallback for payloads no JDK codec parses (video containers need an
+   * external demuxer, e.g. FFmpeg, outside this sandbox). */
   private[multimodal] def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val h = graft.sketches.Hashing.hashBytes(bytes)
     mediaType match {
@@ -69,7 +130,8 @@ object Multimodal {
    * The extraction pipeline: batch-iterate each partition, decode + embed +
    * frame-sample. Payload-heavy rows are balanced across partitions first
    * (range partitioning on payload size) so one partition of large videos
-   * doesn't straggle.
+   * doesn't straggle. Real codecs are tried first (image/audio); payloads
+   * they reject take the deterministic stub with `decoded = false`.
    */
   def extractFeatures(media: Dataset[MediaRow], targetPartitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -83,21 +145,42 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { row =>
-          val (w, h, d) = decodeStub(row.media_type, row.media)
-          MediaFeatures(
-            row.media_id,
-            row.media_type,
-            row.media.length.toLong,
-            w,
-            h,
-            d,
-            embedStub(row.media),
-            sampleFrames(row.media_type, row.media))
+          val nBytes = row.media.length.toLong
+          val frames = sampleFrames(row.media_type, row.media)
+          row.media_type match {
+            case "image" =>
+              decodeImage(row.media) match {
+                case Some((w, h, emb)) =>
+                  MediaFeatures(row.media_id, "image", nBytes, w, h, 0, emb, frames,
+                    decoded = true)
+                case None =>
+                  val (w, h, d) = decodeStub("image", row.media)
+                  MediaFeatures(row.media_id, "image", nBytes, w, h, d,
+                    embedStub(row.media), frames, decoded = false)
+              }
+            case "audio" =>
+              decodeAudio(row.media) match {
+                case Some(durMs) =>
+                  MediaFeatures(row.media_id, "audio", nBytes, 0, 0, durMs,
+                    embedStub(row.media), frames, decoded = true)
+                case None =>
+                  val (w, h, d) = decodeStub("audio", row.media)
+                  MediaFeatures(row.media_id, "audio", nBytes, w, h, d,
+                    embedStub(row.media), frames, decoded = false)
+              }
+            case other =>
+              val (w, h, d) = decodeStub(other, row.media)
+              MediaFeatures(row.media_id, other, nBytes, w, h, d,
+                embedStub(row.media), frames, decoded = false)
+          }
         }
       }
   }
 
-  /** Deterministic synthetic media table (payload = deterministic bytes). */
+  /** Deterministic synthetic media table. Image rows are REAL PNGs
+   * (deterministic noise pixels) and audio rows are REAL 8 kHz 16-bit PCM
+   * WAVs, so the real decode paths run end-to-end on synthesized corpora;
+   * video rows stay deterministic opaque bytes (no JDK demuxer). */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 9L): Dataset[MediaRow] = {
     import spark.implicits._
     val types = Array("image", "audio", "video")
@@ -111,12 +194,51 @@ object Multimodal {
         z ^ (z >>> 31)
       }
       val t = types((id % 3).toInt)
-      val len = 256 + (next() >>> 52).toInt * 7 // up to ~29 KiB
-      val bytes = new Array[Byte](len)
-      var i = 0
-      while (i < len) {
-        bytes(i) = (next() >>> 56).toByte
-        i += 1
+      val bytes: Array[Byte] = t match {
+        case "image" =>
+          val w = 64 + (next() & 0x3f).toInt
+          val h = 64 + (next() & 0x3f).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (next() & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          baos.toByteArray
+        case "audio" =>
+          // 8 kHz mono 16-bit PCM, 1.0-3.0 s => duration_ms in [1000, 3000]
+          val nSamples = 8000 + (next() >>> 50).toInt // + up to 16383
+          val pcm = new Array[Byte](nSamples * 2)
+          var i = 0
+          while (i < nSamples) {
+            val v = (next() >>> 48).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem
+            .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          baos.toByteArray
+        case _ =>
+          val len = 256 + (next() >>> 52).toInt * 7 // up to ~29 KiB
+          val arr = new Array[Byte](len)
+          var i = 0
+          while (i < len) {
+            arr(i) = (next() >>> 56).toByte
+            i += 1
+          }
+          arr
       }
       MediaRow(id, t, bytes, s"src${(next() >>> 60).toInt}")
     }

@@ -395,6 +395,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.filter(_.media_type == "image").forall(f => f.width >= 64 && f.duration_ms == 0))
     assert(feats.filter(_.media_type == "audio").forall(f => f.width == 0 && f.duration_ms >= 1000))
     assert(feats.filter(_.media_type == "video").forall(_.n_frames_sampled >= 1))
+    // REAL codecs handled every image (PNG) and audio (WAV) payload; video
+    // has no JDK demuxer and takes the deterministic stub
+    assert(feats.filter(f => f.media_type == "image" || f.media_type == "audio")
+      .forall(_.decoded))
+    assert(feats.filter(_.media_type == "video").forall(!_.decoded))
+    // real image dims come from the PNG itself (synthesize range 64..127)
+    assert(feats.filter(_.media_type == "image").forall(f =>
+      f.width <= 127 && f.height >= 64 && f.height <= 127))
+    // real WAV duration: 8000..24383 samples at 8 kHz
+    assert(feats.filter(_.media_type == "audio").forall(_.duration_ms <= 3048))
     // deterministic across runs
     val again = Multimodal.extractFeatures(Multimodal.synthesize(spark, 300), 8).collect()
     val a = feats.sortBy(_.media_id).map(f => (f.media_id, f.width, f.embedding.toSeq))
@@ -403,5 +413,36 @@ class MultimodalSpec extends AnyFunSuite {
     // byte accounting matches the source
     val totalBytes = media.collect().map(_.media.length.toLong).sum
     assert(feats.map(_.n_bytes).sum == totalBytes)
+  }
+
+  test("real image/audio decode: exact dims, grid-luma features, exact PCM duration") {
+    import graft.multimodal._
+    // 8x4 PNG, left half black / right half white: grid cells (gy, gx<2) are
+    // 0 luma, (gy, gx>=2) are 255 -> normalized embedding = 0 or 1/sqrt(8)
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Some((w, h, emb)) = Multimodal.decodeImage(baos.toByteArray): @unchecked
+    assert(w == 8 && h == 4)
+    val expect = 1.0 / math.sqrt(8.0)
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val v = emb(gy * 4 + gx).toDouble
+      if (gx < 2) assert(math.abs(v) < 1e-6, s"cell ($gy,$gx) = $v")
+      else assert(math.abs(v - expect) < 1e-6, s"cell ($gy,$gx) = $v")
+    }
+    // 8000 samples at 8 kHz = exactly 1000 ms
+    val pcm = new Array[Byte](8000 * 2)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000L)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    assert(Multimodal.decodeAudio(wav.toByteArray).contains(1000))
+    // non-media payloads are rejected, not mis-decoded
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
   }
 }
