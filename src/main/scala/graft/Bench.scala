@@ -123,27 +123,46 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(qListener)
 
-    case class QMetrics(sec: Double, jobs: Long, shuffleRead: Long, shuffleWrite: Long)
+    case class QMetrics(
+        sec: Double, jobs: Long, shuffleRead: Long, shuffleWrite: Long, err: String)
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       qListener.settle()
       val (j0, r0, w0) =
         (qListener.jobsStarted.get(), qListener.shuffleRead.get(), qListener.shuffleWrite.get())
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must surface as an err entry in the artifact, not
+      // masquerade as a fast wall-time (verdict-r5 item 3)
+      val err = try { fn(spark, sfDir).count(); null } catch {
+        case t: Throwable =>
+          s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("").take(200)}"
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       qListener.settle()
       val m = QMetrics(sec, qListener.jobsStarted.get() - j0,
-        qListener.shuffleRead.get() - r0, qListener.shuffleWrite.get() - w0)
+        qListener.shuffleRead.get() - r0, qListener.shuffleWrite.get() - w0, err)
       System.err.println(
-        f"[bench] $name: $sec%.2f s (${m.jobs} jobs, ${m.shuffleRead}%d B shuffle read)")
+        f"[bench] $name: $sec%.2f s (${m.jobs} jobs, ${m.shuffleRead}%d B shuffle read)" +
+          (if (err != null) s" ERR $err" else ""))
       name -> m
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
     val qm = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k + s"\":{\"jobs\":${v.jobs},\"shuffle_read_bytes\":${v.shuffleRead}," +
-        s"\"shuffle_write_bytes\":${v.shuffleWrite}}"
+        s"\"shuffle_write_bytes\":${v.shuffleWrite}," +
+        s"\"err\":${if (v.err == null) "null" else jsonStr(v.err)}}"
     }.mkString("{", ",", "}")
+    // compact line stays small: only FAILING queries appear here ({} when clean)
+    val errsJson = results.toSeq.filter(_._2.err != null).sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + jsonStr(v.err) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
 
     // Locale.ROOT formatting: the f-interpolator is locale-dependent and a
@@ -154,7 +173,8 @@ object Bench {
     // parser expects numeric values there); the per-query {jobs, shuffle
     // bytes} diagnostics live under the separate "query_metrics" key
     val core =
-      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,""" +
+        s""""sf":"$sfDir",""" +
         s""""sketch_update":{"rows":$n,"sec":${num("%.2f", engineBest)},""" +
         s""""turns_per_sec":${num("%.0f", turnsPerSec)}},""" +
         s""""cpu_probe":{"threads":$nThreads,"one_thread_sec":${num("%.2f", oneThreadSec)},""" +

@@ -861,7 +861,8 @@ object SparkEntry {
               df.write.mode("overwrite").parquet(out)
             }
             .start()
-          q.awaitTermination()
+          try q.awaitTermination()
+          finally if (q.isActive) q.stop()
         }
         val r = s.read
           .parquet(out)
@@ -925,10 +926,13 @@ object SparkEntry {
               df.write.mode("append").parquet(out)
             }
             .start()
-          q.processAllAvailable()
-          batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
-          q.processAllAvailable()
-          q.stop()
+          // finally-guard: a throw mid-stream must not leak a running query
+          // into the shared session (the outer finally deletes its input dir)
+          try {
+            q.processAllAvailable()
+            batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
+            q.processAllAvailable()
+          } finally if (q.isActive) q.stop()
         }
         // materialize before the temp dir is deleted: one row per FINALIZED
         // WINDOW (~days in the table), never data-sized
@@ -1086,7 +1090,8 @@ object SparkEntry {
            |       (hist_total(skt.sk) = ex.n AND
            |        hist_min(skt.sk) = ex.mn AND
            |        hist_max(skt.sk) = ex.mx AND
-           |        hist_quantile(skt.sk, 0.5) BETWEEN ex.mn AND ex.mx AND
+           |        hist_quantile(skt.sk, 0.0) = ex.mn AND
+           |        hist_quantile(skt.sk, 1.0) = ex.mx AND
            |        hist_total(hist_rebin_custom(skt.sk, 0.0, 200.0, 800.0)) = ex.n) AS ok
            |FROM skt JOIN ex ON skt.source = ex.source
            |LATERAL VIEW explode(hist_bins(skt.sk)) t AS b""".stripMargin)
@@ -1129,10 +1134,13 @@ object SparkEntry {
               df.write.mode("append").parquet(out)
             }
             .start()
-          q.processAllAvailable()
-          batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
-          q.processAllAvailable()
-          q.stop()
+          // finally-guard: a throw mid-stream must not leak a running query
+          // into the shared session (the outer finally deletes its input dir)
+          try {
+            q.processAllAvailable()
+            batch.filter(!isBatch1).drop("event_id").write.mode("append").parquet(in)
+            q.processAllAvailable()
+          } finally if (q.isActive) q.stop()
         }
         // one emission per (key, batch that touched it): the final state row
         // per key is the one with the largest running total (counts only
@@ -1184,11 +1192,13 @@ object SparkEntry {
               df.write.mode("append").parquet(out)
             }
             .start()
-          q.processAllAvailable()
-          val nB1 = s.read.parquet(out).count()
-          docs.filter(!isB1).write.mode("append").parquet(in)
-          q.processAllAvailable()
-          q.stop()
+          val nB1 = try {
+            q.processAllAvailable()
+            val n = s.read.parquet(out).count()
+            docs.filter(!isB1).write.mode("append").parquet(in)
+            q.processAllAvailable()
+            n
+          } finally if (q.isActive) q.stop()
           val outDf = s.read.parquet(out)
           val (nTotal, nDistinctFp) = {
             val r = outDf

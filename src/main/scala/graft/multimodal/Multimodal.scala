@@ -44,7 +44,7 @@ object Multimodal {
    * content embedding — mean luminance over a 4x4 grid, L2-normalized (a
    * miniature pooled feature head). None when the payload is not a decodable
    * image. */
-  private[multimodal] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
@@ -87,7 +87,7 @@ object Multimodal {
   /** REAL audio decode via the JDK's built-in WAV reader: exact duration in
    * milliseconds from the PCM frame count and rate. None when the payload is
    * not parseable audio. */
-  private[multimodal] def decodeAudio(bytes: Array[Byte]): Option[Int] =
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[Int] =
     try {
       val ais = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))

@@ -63,26 +63,33 @@ object Dedup {
     math.min(cap, math.max(floor, byRows))
   }
 
+  private def broadcastCapError(maxRows: Int, what: String, alternative: String) =
+    new IllegalArgumentException(
+      s"$what: corpus exceeds maxBroadcastRows=$maxRows. This is the driver-" +
+        s"collected exact ground-truth baseline; at scale use $alternative, " +
+        "or raise maxBroadcastRows if the corpus genuinely fits driver memory.")
+
   /**
-   * Fail-fast guard for the driver-collected exact baselines: the quadratic
-   * ground-truth APIs collect the corpus to the driver before broadcasting,
-   * which is the right physical shape ONLY while the corpus fits in driver
-   * memory. A misuse at 100x scale must fail with a clear pointer to the
-   * scale path, not OOM the driver. The probe is a per-partition-limited
-   * count (`limit(cap+1)` short-circuits), so its cost is O(cap), not O(n).
+   * Fail-fast guard + collect for the driver-collected exact baselines: the
+   * quadratic ground-truth APIs collect the corpus to the driver before
+   * broadcasting, which is the right physical shape ONLY while the corpus
+   * fits in driver memory. A misuse at 100x scale must fail with a clear
+   * pointer to the scale path, not OOM the driver. Guard and collect are ONE
+   * scan: `take(cap+1)` short-circuits via Spark's incremental partition
+   * scan, so the cap check costs no extra job (a standalone limit+count
+   * probe doubled the scan on wide upstream plans). Driver memory is bounded
+   * at cap+1 rows either way.
    */
-  private[text] def requireBroadcastable(
+  private[text] def collectBroadcastable(
       df: DataFrame,
       maxRows: Int,
       what: String,
-      alternative: String): Unit = {
-    val lim = if (maxRows == Int.MaxValue) Int.MaxValue else maxRows + 1
-    if (df.limit(lim).count() > maxRows) {
-      throw new IllegalArgumentException(
-        s"$what: corpus exceeds maxBroadcastRows=$maxRows. This is the driver-" +
-          s"collected exact ground-truth baseline; at scale use $alternative, " +
-          "or raise maxBroadcastRows if the corpus genuinely fits driver memory.")
-    }
+      alternative: String): Array[org.apache.spark.sql.Row] = {
+    val rows =
+      if (maxRows >= Int.MaxValue - 1) df.collect()
+      else df.take(maxRows + 1)
+    if (rows.length > maxRows) throw broadcastCapError(maxRows, what, alternative)
+    rows
   }
 
   /** Frees the cached blocks behind a `localCheckpoint()`ed frame. Only call
@@ -385,6 +392,10 @@ object Dedup {
     var labels = ckpt
     var changed = 1L
     var it = 0
+    // on ANY failure path (mid-round throw or the non-convergence throw
+    // below) the live checkpoint caches must not leak into a long-lived
+    // session; success keeps ckpt alive — the returned frame reads it
+    try {
     while (changed > 0 && it < maxIters) {
       // ONE plan per round — propagate + pointer jump — materialized once.
       // The jump reads the PREVIOUS round's labels (the checkpointed frame,
@@ -421,6 +432,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge: $changed labels still changing " +
           s"after $maxIters pointer-jumping rounds (diameter would exceed 2^$maxIters)")
+    } catch {
+      case t: Throwable =>
+        unpersistCheckpoint(ckpt)
+        unpersistCheckpoint(sym)
+        throw t
+    }
     // labels holds exactly the edge-adjacent nodes; everything else is its
     // own singleton cluster
     val singletons = nodeIds
@@ -559,13 +576,12 @@ object Dedup {
       threshold: Double,
       shingleK: Int = 3,
       maxBroadcastRows: Int = 4000000): DataFrame = {
-    requireBroadcastable(df, maxBroadcastRows, "jaccardPairsAboveBroadcast",
-      "nearDuplicatePairs (banded MinHash-LSH)")
     val spark = df.sparkSession
     import spark.implicits._
-    val corpus: Array[(Long, Array[Long])] = df
-      .select(col(idCol).cast("long"), col(textCol))
-      .collect()
+    val corpus: Array[(Long, Array[Long])] = collectBroadcastable(
+      df.select(col(idCol).cast("long"), col(textCol)),
+      maxBroadcastRows, "jaccardPairsAboveBroadcast",
+      "nearDuplicatePairs (banded MinHash-LSH)")
       .map { r =>
         val h = TextFunctions.shingleHashes(r.getString(1), shingleK)
         java.util.Arrays.sort(h)

@@ -94,13 +94,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       maxBroadcastRows: Int = 4000000): DataFrame = {
-    Dedup.requireBroadcastable(corpus, maxBroadcastRows, "cosineTopKBroadcast",
-      "ivfCosineTopK (distributed IVF ANN)")
     val spark = queries.sparkSession
     import spark.implicits._
-    val corpusData: Array[(Long, Array[Double], Double)] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
+    val corpusData: Array[(Long, Array[Double], Double)] = Dedup.collectBroadcastable(
+      corpus.select(col(idCol).cast("long"), col(vecCol)),
+      maxBroadcastRows, "cosineTopKBroadcast",
+      "ivfCosineTopK (distributed IVF ANN)")
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
@@ -235,13 +234,12 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       maxBroadcastRows: Int = 4000000): DataFrame = {
-    Dedup.requireBroadcastable(df, maxBroadcastRows, "cosinePairsAbove",
-      "Dedup.embeddingNearDuplicates (sign-LSH candidates + exact verify)")
     val spark = df.sparkSession
     import spark.implicits._
-    val corpusData: Array[(Long, Array[Double], Double)] = df
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
+    val corpusData: Array[(Long, Array[Double], Double)] = Dedup.collectBroadcastable(
+      df.select(col(idCol).cast("long"), col(vecCol)),
+      maxBroadcastRows, "cosinePairsAbove",
+      "Dedup.embeddingNearDuplicates (sign-LSH candidates + exact verify)")
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
