@@ -589,7 +589,41 @@ object SparkEntry {
           javax.imageio.ImageIO.write(img, "png", baos)
           graft.multimodal.MediaRow(plantOffset + id, "image", baos.toByteArray, "planted")
         }
-      val feats = graft.multimodal.Multimodal.extractFeatures(opaque.unionByName(planted))
+      // planted MPNG videos (one per doc_id % 100 == 50): REAL demux +
+      // per-frame ImageIO decode — frame count, fps, and frame dimensions
+      // all derived from doc_id so the oracle re-computes the decoded
+      // duration/frame/dimension sums from the same arithmetic
+      val plantedVideo = docs
+        .filter(col("doc_id") % 100 === 50)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val k = id / 100
+          val nFrames = 4 + (k % 5).toInt // 4-8 (<= sampler cap: all decoded)
+          val w = 64 + (k % 8).toInt
+          val h = 64 + (k % 4).toInt
+          val rgb = 0x404040 + (k % 128).toInt
+          val frames = (0 until nFrames).map { _ =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            baos.toByteArray
+          }
+          graft.multimodal.MediaRow(
+            2 * plantOffset + id, "video",
+            graft.multimodal.Multimodal.encodeMpng(frames, 4), "planted")
+        }
+      val feats = graft.multimodal.Multimodal.extractFeatures(
+        opaque.unionByName(planted).unionByName(plantedVideo))
+      val isImg = col("media_type") === "image"
+      val isVid = col("media_type") === "video"
       feats
         .toDF()
         .agg(
@@ -597,9 +631,16 @@ object SparkEntry {
           sum(when(col("media_id") < plantOffset, col("n_bytes"))).as("total_bytes"),
           min(size(col("embedding"))).as("emb_dim"),
           (min(col("width")) >= 64).as("decode_ok"),
-          sum(col("decoded").cast("long")).as("n_real_decoded"),
-          sum(when(col("decoded"), col("width").cast("long"))).as("sum_real_width"),
-          sum(when(col("decoded"), col("height").cast("long"))).as("sum_real_height"))
+          sum(when(isImg, col("decoded").cast("long"))).as("n_real_decoded"),
+          sum(when(col("decoded") && isImg, col("width").cast("long")))
+            .as("sum_real_width"),
+          sum(when(col("decoded") && isImg, col("height").cast("long")))
+            .as("sum_real_height"),
+          sum(when(isVid, col("decoded").cast("long"))).as("n_video_decoded"),
+          sum(when(col("decoded") && isVid, col("duration_ms").cast("long")))
+            .as("sum_video_duration_ms"),
+          sum(when(col("decoded") && isVid, col("n_frames_sampled").cast("long")))
+            .as("sum_video_frames"))
     },
     // 20. OpenTelemetry exponential-buckets layout: exploded bin counts,
     //     re-counted by the oracle against the layout's own exact bin
@@ -1074,7 +1115,9 @@ object SparkEntry {
     //     path a SQL-only user hits first. Per-source doc-length bin counts
     //     are re-derived exactly by the oracle from the same boundaries; the
     //     ok-conjunction pins total/min/max to exact SQL aggregates and the
-    //     re-binned total to the row count.
+    //     re-binned total to the row count, and asserts the packed-counter
+    //     SQL builder (hist_sketch_packed_custom) byte-equal to the plain
+    //     one — packing changes buffer representation, not results.
     "q33_sql_surface" -> { (s, dir) =>
       graft.spark.functions.registerAll(s)
       table(s, dir, "documents").createOrReplaceTempView("graft_documents")
@@ -1083,7 +1126,9 @@ object SparkEntry {
         s"""WITH d AS (
            |  SELECT source, CAST(length(text) AS DOUBLE) AS v FROM graft_documents),
            |skt AS (
-           |  SELECT source, hist_sketch_custom(v, $bounds) AS sk FROM d GROUP BY source),
+           |  SELECT source, hist_sketch_custom(v, $bounds) AS sk,
+           |         hist_sketch_packed_custom(v, $bounds) AS skp
+           |  FROM d GROUP BY source),
            |ex AS (
            |  SELECT source, count(*) AS n, min(v) AS mn, max(v) AS mx FROM d GROUP BY source)
            |SELECT skt.source AS source, b.bin_index AS bin_index, b.cnt AS cnt,
@@ -1092,9 +1137,62 @@ object SparkEntry {
            |        hist_max(skt.sk) = ex.mx AND
            |        hist_quantile(skt.sk, 0.0) = ex.mn AND
            |        hist_quantile(skt.sk, 1.0) = ex.mx AND
+           |        skt.sk = skt.skp AND
            |        hist_total(hist_rebin_custom(skt.sk, 0.0, 200.0, 800.0)) = ex.n) AS ok
            |FROM skt JOIN ex ON skt.source = ex.source
            |LATERAL VIEW explode(hist_bins(skt.sk)) t AS b""".stripMargin)
+    },
+    // 37. pure-SQL PARAMETERIZED companion sketches: every companion
+    //     aggregate with non-default accuracy literals through one
+    //     spark.sql string (native TypedImperativeAggregate builders —
+    //     hll_sketch(c, 12), cms_sketch(c, 7, 4096), bloom_sketch(k, 1e5,
+    //     0.01), tdigest_sketch(v, 50), kll_sketch(v, 160)). Each ok flag
+    //     is a deterministic bound/exactness check computed Spark-side
+    //     (HLL 3-sigma, CMS no-underestimate + eps*N over, Bloom
+    //     no-false-negative, t-digest exact endpoint min/max, KLL rank
+    //     error via a join-back recount); the oracle re-derives the exact
+    //     side columns and asserts every flag true.
+    "q37_sql_param_sketches" -> { (s, dir) =>
+      graft.spark.functions.registerAll(s)
+      table(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """WITH o AS (
+          |  SELECT o_orderpriority AS pri, o_custkey, o_orderkey, o_orderstatus,
+          |         CAST(o_totalprice AS DOUBLE) AS price
+          |  FROM graft_orders),
+          |ex AS (
+          |  SELECT pri, count(*) AS n, count(DISTINCT o_custkey) AS n_distinct,
+          |         min(o_orderkey) AS min_key, min(price) AS mn,
+          |         max(price) AS mx, max(o_orderstatus) AS mx_status
+          |  FROM o GROUP BY pri),
+          |exc AS (
+          |  SELECT pri, o_orderstatus, count(*) AS c FROM o GROUP BY pri, o_orderstatus),
+          |sk AS (
+          |  SELECT pri,
+          |         hll_sketch(o_custkey, 12) AS hll,
+          |         cms_sketch(o_orderstatus, 7, 4096) AS cms,
+          |         bloom_sketch(o_orderkey, 100000, 0.01) AS bf,
+          |         tdigest_sketch(price, 50.0) AS td,
+          |         kll_quantile(kll_sketch(price, 160), 0.5) AS kll_p50
+          |  FROM o GROUP BY pri),
+          |chk AS (
+          |  SELECT sk.pri, count(*) AS n_rows,
+          |         sum(CASE WHEN o.price <= sk.kll_p50 THEN 1 ELSE 0 END) AS le
+          |  FROM o JOIN sk ON o.pri = sk.pri GROUP BY sk.pri)
+          |SELECT ex.pri AS pri, ex.n AS n, ex.n_distinct AS n_distinct,
+          |       (abs(hll_estimate(sk.hll) - CAST(ex.n_distinct AS DOUBLE))
+          |          <= 3 * 1.04 / sqrt(4096.0) * ex.n_distinct) AS hll_ok,
+          |       (cms_estimate(sk.cms, ex.mx_status) >= exc.c AND
+          |        cms_estimate(sk.cms, ex.mx_status) <=
+          |          exc.c + CAST(3 * 2.718281828459045 / 4096 * ex.n AS BIGINT) + 1) AS cms_ok,
+          |       bloom_might_contain(sk.bf, ex.min_key) AS bloom_ok,
+          |       (tdigest_quantile(sk.td, 0.0) = ex.mn AND
+          |        tdigest_quantile(sk.td, 1.0) = ex.mx) AS td_ok,
+          |       (abs(CAST(chk.le AS DOUBLE) / chk.n_rows - 0.5) <= 0.03) AS kll_ok
+          |FROM ex
+          |JOIN sk ON ex.pri = sk.pri
+          |JOIN chk ON ex.pri = chk.pri
+          |JOIN exc ON exc.pri = ex.pri AND exc.o_orderstatus = ex.mx_status""".stripMargin)
     },
     // 34. stateful per-key streaming (flatMapGroupsWithState): events
     //     replayed as TWO micro-batches into per-key running histogram
@@ -1159,6 +1257,77 @@ object SparkEntry {
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
           .toSeq
         rows.toDF("k", "n", "mn", "mx")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    // 36. BOUNDED-state streaming dedup (dropDuplicatesWithinWatermark — the
+    //     infinite-stream form whose state is evicted by the event-time
+    //     watermark): documents replayed as THREE micro-batches with
+    //     synthetic event times. Batch 1 (even ids, t=Jan1) seeds the state;
+    //     batch 2 (odd ids, t=Jan3) is deduped against the STILL-LIVE batch-1
+    //     state (the pre-b2 watermark is behind b1's expiry), and its
+    //     watermark advance then EVICTS every batch-1 fingerprint
+    //     (expiry Jan1 01:00 < watermark Jan2 23:00); batch 3 replays
+    //     batch-1 docs (ids % 4 == 0) at t=Jan3 00:30 and each replayed
+    //     fingerprint RE-EMITS — the retention trade under test. b3 is
+    //     restricted to fingerprints absent from the odd-id set so the
+    //     expected counts don't depend on whether suppressed duplicates
+    //     extend state expiry. The oracle re-derives all three emission
+    //     counts from the q12 canonicalization + the id arithmetic.
+    "q36_streaming_dedup_watermark" -> { (s, dir) =>
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_wm").toString
+      try {
+        val in = s"$tmp/in"
+        val out = s"$tmp/out"
+        val isEven = col("doc_id") % 2 === 0
+        def stamped(df: DataFrame, ts: String): DataFrame =
+          df.withColumn("ts", lit(ts).cast("timestamp"))
+        stamped(docs.filter(isEven), "2024-01-01 00:00:00").write.parquet(in)
+        val stream = s.readStream
+          .schema("doc_id long, text string, ts timestamp")
+          .parquet(in)
+        val deduped = graft.streaming.StreamingSketch
+          .streamingExactDedupWithinWatermark(stream, "text", "ts", "1 hour")
+        // dedup state = one 8-byte fingerprint per LIVE (unexpired) doc:
+        // state-store width sized from the corpus like q35
+        withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
+          docs.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
+          val q = deduped.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out)
+            }
+            .start()
+          val (nB1, nB2) = try {
+            q.processAllAvailable()
+            val n1 = s.read.parquet(out).count()
+            stamped(docs.filter(!isEven), "2024-01-03 00:00:00")
+              .write.mode("append").parquet(in)
+            q.processAllAvailable()
+            val n2 = s.read.parquet(out).count() - n1
+            // b3: replay of EVICTED state only — even ids divisible by 4
+            // whose fingerprint never occurs among odd ids (their only state
+            // entry was b1's, gone after b2's watermark advance)
+            val oddFps = docs.filter(!isEven)
+              .select(graft.text.Dedup.fingerprintUdf(col("text")).as("fp"))
+              .distinct()
+            val b3 = docs.filter(col("doc_id") % 4 === 0)
+              .withColumn("fp", graft.text.Dedup.fingerprintUdf(col("text")))
+              .join(oddFps, Seq("fp"), "left_anti")
+              .select(col("doc_id"), col("text"))
+            stamped(b3, "2024-01-03 00:30:00").write.mode("append").parquet(in)
+            q.processAllAvailable()
+            (n1, n2)
+          } finally if (q.isActive) q.stop()
+          val nTotal = s.read.parquet(out).count()
+          Seq((nB1, nB2, nTotal - nB1 - nB2))
+            .toDF("n_b1", "n_b2", "n_b3_reemitted")
+        }
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmp)).deleteRecursively()
@@ -1323,11 +1492,16 @@ object SparkEntry {
       """SELECT count(*) AS rows_consumed, true AS resume_ok, true AS result_equal,
                 true AS lineage_ok FROM lineitem""",
     "q19_multimodal" ->
-      // the planted-PNG leg is REAL ImageIO decode: the oracle recomputes
-      // the planted count and the decoded width/height sums from the same
-      // doc_id arithmetic the query used to SIZE the images it encoded
+      // the planted-PNG leg is REAL ImageIO decode and the planted-MPNG leg
+      // is REAL demux + per-frame decode: the oracle recomputes the planted
+      // counts, the decoded width/height sums, and the decoded video
+      // duration/frame sums from the same doc_id arithmetic the query used
+      // to SIZE the media it encoded (nFrames = 4 + (doc_id//100 % 5) at
+      // 4 fps -> duration nFrames*250 ms; <= the 8-frame sampler cap, so
+      // every frame is sampled)
       """SELECT CAST((SELECT count(*) FROM documents)
                    + (SELECT count(*) FROM documents WHERE doc_id % 100 = 0)
+                   + (SELECT count(*) FROM documents WHERE doc_id % 100 = 50)
                   AS BIGINT) AS n_items,
                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 16 AS emb_dim, true AS decode_ok,
@@ -1336,7 +1510,13 @@ object SparkEntry {
                 CAST((SELECT sum(64 + doc_id % 32) FROM documents
                       WHERE doc_id % 100 = 0) AS BIGINT) AS sum_real_width,
                 CAST((SELECT sum(64 + doc_id % 16) FROM documents
-                      WHERE doc_id % 100 = 0) AS BIGINT) AS sum_real_height
+                      WHERE doc_id % 100 = 0) AS BIGINT) AS sum_real_height,
+                CAST((SELECT count(*) FROM documents WHERE doc_id % 100 = 50)
+                  AS BIGINT) AS n_video_decoded,
+                CAST((SELECT sum((4 + (doc_id // 100) % 5) * 250) FROM documents
+                      WHERE doc_id % 100 = 50) AS BIGINT) AS sum_video_duration_ms,
+                CAST((SELECT sum(4 + (doc_id // 100) % 5) FROM documents
+                      WHERE doc_id % 100 = 50) AS BIGINT) AS sum_video_frames
          FROM documents""",
     "q21_transcript_stats" ->
       """SELECT event_type AS role, count(*) AS n_turns,
@@ -1477,6 +1657,31 @@ object SparkEntry {
                     len(list_distinct(list_concat(a.s, b.s))) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
+    "q36_streaming_dedup_watermark" ->
+      // three phases of watermark-bounded dedup (see the query comment):
+      // b1 = distinct canonical texts among even ids; b2 = distinct among
+      // odd ids not live in b1's state; b3 = replayed even ids % 4 whose
+      // fingerprint is NOT in the odd set — all of those were evicted by
+      // b2's watermark advance, so every one re-emits.
+      """WITH canon AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS c
+           FROM documents),
+         b1 AS (SELECT DISTINCT c FROM canon WHERE doc_id % 2 = 0),
+         oddc AS (SELECT DISTINCT c FROM canon WHERE doc_id % 2 = 1)
+         SELECT (SELECT count(*) FROM b1) AS n_b1,
+                (SELECT count(DISTINCT c) FROM canon
+                 WHERE doc_id % 2 = 1 AND c NOT IN (SELECT c FROM b1)) AS n_b2,
+                (SELECT count(DISTINCT c) FROM canon
+                 WHERE doc_id % 4 = 0 AND c NOT IN (SELECT c FROM oddc))
+                  AS n_b3_reemitted""",
+    "q37_sql_param_sketches" ->
+      // parameterized companion sketches: exact side columns re-derived,
+      // every bound/exactness flag asserted true
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+                count(DISTINCT o_custkey) AS n_distinct,
+                true AS hll_ok, true AS cms_ok, true AS bloom_ok,
+                true AS td_ok, true AS kll_ok
+         FROM orders GROUP BY 1""",
     "q35_streaming_dedup" ->
       // batch 1 = even doc_ids; emissions per phase are exact: batch 1
       // emits one row per distinct canonical text among even ids, batch 2

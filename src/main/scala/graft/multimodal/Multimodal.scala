@@ -32,10 +32,12 @@ final case class MediaFeatures(
  * `javax.imageio`, headless-safe) and audio (RIFF/WAV PCM via
  * `javax.sound.sampled`) are actually decoded — exact pixel dimensions, a
  * content-based 4x4 grid mean-luminance embedding, exact PCM duration.
- * Payloads no JDK codec can parse (video containers, or bytes that are not
- * media at all) fall back to the clearly-marked deterministic STUB so the
- * pipeline shape stays total; `MediaFeatures.decoded` records which path a
- * row took.
+ * Video runs a REAL demux -> bounded frame-sample -> per-frame codec decode
+ * -> pooled-embedding path for MPNG containers (see [[encodeMpng]]); general
+ * containers (MP4/MKV) would slot a demuxer into the same path but need
+ * FFmpeg, absent in this sandbox. Payloads nothing can parse fall back to
+ * the clearly-marked deterministic STUB so the pipeline shape stays total;
+ * `MediaFeatures.decoded` records which path a row took.
  */
 object Multimodal {
 
@@ -96,9 +98,103 @@ object Multimodal {
       if (frames > 0 && rate > 0) Some((frames * 1000.0 / rate).toInt) else None
     } catch { case _: Exception => None }
 
+  // --------------------------------------------------------------------
+  // MPNG: a minimal deterministic motion-picture container (length-prefixed
+  // PNG frames) so a REAL demux -> per-frame codec decode -> frame-sample
+  // path runs end-to-end in-sandbox. General video containers (MP4/MKV/AVI)
+  // still need an external demuxer (FFmpeg) and take the stub; the Spark-
+  // side plumbing — schema, batch shape, sampling, pooled embedding — is
+  // identical for both, which is the part that matters at scale.
+  // Layout: "MPNG" magic, int32 fps, int32 frameCount, then frameCount x
+  // (int32 len, PNG bytes), all big-endian.
+  // --------------------------------------------------------------------
+
+  private val MpngMagic = 0x4d504e47 // "MPNG"
+
+  /** Encodes PNG frames into the MPNG container. */
+  private[graft] def encodeMpng(frames: Seq[Array[Byte]], fps: Int): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty, "MPNG needs fps > 0 and at least one frame")
+    val total = 12 + frames.map(4 + _.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.putInt(MpngMagic).putInt(fps).putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Demuxed + decoded video features: frame-0 dimensions, container
+   * duration, total frame count, number of frames actually decoded by the
+   * sampler, and the pooled (mean over sampled frames, L2-normalized)
+   * 16-dim luminance embedding. */
+  private[graft] final case class VideoFeatures(
+      width: Int,
+      height: Int,
+      durationMs: Int,
+      nFrames: Int,
+      nSampled: Int,
+      embedding: Array[Float])
+
+  /** REAL video path for MPNG containers: demux the frame table, decode a
+   * bounded sample of frames (ceil-stride so <= maxSample regardless of
+   * length — the knob that keeps per-row decode cost flat on long videos),
+   * pool their embeddings. None when the payload is not MPNG or any sampled
+   * frame fails to decode. */
+  private[graft] def demuxVideo(
+      bytes: Array[Byte],
+      maxSample: Int = 8): Option[VideoFeatures] =
+    try {
+      if (bytes.length < 12) return None
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      if (buf.getInt() != MpngMagic) return None
+      val fps = buf.getInt()
+      val n = buf.getInt()
+      if (fps <= 0 || n <= 0 || n > 1000000) return None
+      // index the frame table without touching pixel data
+      val offsets = new Array[Int](n)
+      val lengths = new Array[Int](n)
+      var i = 0
+      var pos = 12
+      while (i < n) {
+        if (pos + 4 > bytes.length) return None
+        val len = buf.getInt(pos)
+        if (len <= 0 || pos + 4 + len > bytes.length) return None
+        offsets(i) = pos + 4
+        lengths(i) = len
+        pos += 4 + len
+        i += 1
+      }
+      val stride = math.max(1, (n + maxSample - 1) / maxSample)
+      val acc = new Array[Double](16)
+      var sampled = 0
+      var w = 0
+      var h = 0
+      var f = 0
+      while (f < n) {
+        val frame = java.util.Arrays.copyOfRange(bytes, offsets(f), offsets(f) + lengths(f))
+        decodeImage(frame) match {
+          case Some((fw, fh, emb)) =>
+            if (sampled == 0) { w = fw; h = fh }
+            var d = 0
+            while (d < 16) { acc(d) += emb(d); d += 1 }
+            sampled += 1
+          case None => return None
+        }
+        f += stride
+      }
+      if (sampled == 0) return None
+      val emb = new Array[Float](16)
+      var d = 0
+      while (d < 16) { emb(d) = (acc(d) / sampled).toFloat; d += 1 }
+      val norm = math.sqrt(emb.map(v => v.toDouble * v).sum)
+      if (norm > 0) {
+        var j = 0
+        while (j < 16) { emb(j) = (emb(j) / norm).toFloat; j += 1 }
+      }
+      Some(VideoFeatures(w, h, (n.toLong * 1000 / fps).toInt, n, sampled, emb))
+    } catch { case _: Exception => None }
+
   /** STUB decode: deterministic pseudo-metadata from the payload bytes —
-   * the fallback for payloads no JDK codec parses (video containers need an
-   * external demuxer, e.g. FFmpeg, outside this sandbox). */
+   * the fallback for payloads no JDK codec parses (general video containers
+   * need an external demuxer, e.g. FFmpeg, outside this sandbox). */
   private[multimodal] def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val h = graft.sketches.Hashing.hashBytes(bytes)
     mediaType match {
@@ -168,6 +264,16 @@ object Multimodal {
                   MediaFeatures(row.media_id, "audio", nBytes, w, h, d,
                     embedStub(row.media), frames, decoded = false)
               }
+            case "video" =>
+              demuxVideo(row.media) match {
+                case Some(vf) =>
+                  MediaFeatures(row.media_id, "video", nBytes, vf.width, vf.height,
+                    vf.durationMs, vf.embedding, vf.nSampled, decoded = true)
+                case None =>
+                  val (w, h, d) = decodeStub("video", row.media)
+                  MediaFeatures(row.media_id, "video", nBytes, w, h, d,
+                    embedStub(row.media), frames, decoded = false)
+              }
             case other =>
               val (w, h, d) = decodeStub(other, row.media)
               MediaFeatures(row.media_id, other, nBytes, w, h, d,
@@ -178,9 +284,11 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table. Image rows are REAL PNGs
-   * (deterministic noise pixels) and audio rows are REAL 8 kHz 16-bit PCM
-   * WAVs, so the real decode paths run end-to-end on synthesized corpora;
-   * video rows stay deterministic opaque bytes (no JDK demuxer). */
+   * (deterministic noise pixels), audio rows are REAL 8 kHz 16-bit PCM
+   * WAVs, and most video rows are REAL MPNG containers (length-prefixed PNG
+   * frames, demuxed + per-frame ImageIO-decoded by [[demuxVideo]]); every
+   * third video row (ids ≡ 2 mod 9) stays opaque noise bytes so the stub
+   * fallback is exercised alongside the real path. */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 9L): Dataset[MediaRow] = {
     import spark.implicits._
     val types = Array("image", "audio", "video")
@@ -231,14 +339,41 @@ object Multimodal {
             .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
           baos.toByteArray
         case _ =>
-          val len = 256 + (next() >>> 52).toInt * 7 // up to ~29 KiB
-          val arr = new Array[Byte](len)
-          var i = 0
-          while (i < len) {
-            arr(i) = (next() >>> 56).toByte
-            i += 1
+          // REAL MPNG container: 3-10 small deterministic-noise PNG frames
+          // at 4 fps (odd ids); every third video row stays opaque noise
+          // bytes to keep the stub fallback exercised alongside the real
+          // demux path
+          if (id % 9 == 2) {
+            val len = 256 + (next() >>> 52).toInt * 7 // up to ~29 KiB
+            val arr = new Array[Byte](len)
+            var i = 0
+            while (i < len) {
+              arr(i) = (next() >>> 56).toByte
+              i += 1
+            }
+            arr
+          } else {
+            val nFrames = 3 + (next() & 0x7).toInt // 3-10
+            val w = 24 + (next() & 0xf).toInt
+            val h = 16 + (next() & 0x7).toInt
+            val frames = (0 until nFrames).map { _ =>
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  img.setRGB(x, y, (next() & 0xffffff).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              baos.toByteArray
+            }
+            encodeMpng(frames, 4)
           }
-          arr
       }
       MediaRow(id, t, bytes, s"src${(next() >>> 60).toInt}")
     }

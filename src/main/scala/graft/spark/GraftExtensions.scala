@@ -124,6 +124,12 @@ object GraftExtensions {
     args => HistogramSketchAgg(Cast(args.head, DoubleType), mkLayout(args.tail))
       .toAggregateExpression()
 
+  private def packedSketchAgg(fn: String, mkLayout: Seq[Expression] => Layout)
+      : Seq[Expression] => Expression =
+    args => HistogramSketchAgg(
+      Cast(args.head, DoubleType), mkLayout(args.tail), packed = true)
+      .toAggregateExpression()
+
   /** (value, weight, layout params...) — the count-weighted native aggregate
    * (reference `addValue(double, long)`, Histogram.java:283-290). */
   private def weightedSketchAgg(fn: String, mkLayout: Seq[Expression] => Layout)
@@ -248,6 +254,81 @@ object GraftExtensions {
       expectArgs("hist_sketch_weighted_custom", 3, atLeast = true)(weightedSketchAgg(
         "hist_sketch_weighted_custom",
         a => CustomLayout(a.map(litDouble("hist_sketch_weighted_custom", _)).toArray))),
+    // packed-counter histogram aggregates (adaptive bit-width per-group
+    // buffers — the high-group-cardinality memory path, SQL-callable)
+    "hist_sketch_packed_log_quadratic" ->
+      expectArgs("hist_sketch_packed_log_quadratic", 5)(packedSketchAgg(
+        "hist_sketch_packed_log_quadratic",
+        a => LogQuadraticLayout(
+          litDouble("hist_sketch_packed_log_quadratic", a(0)),
+          litDouble("hist_sketch_packed_log_quadratic", a(1)),
+          litDouble("hist_sketch_packed_log_quadratic", a(2)),
+          litDouble("hist_sketch_packed_log_quadratic", a(3))))),
+    "hist_sketch_packed_custom" ->
+      expectArgs("hist_sketch_packed_custom", 2, atLeast = true)(packedSketchAgg(
+        "hist_sketch_packed_custom",
+        a => CustomLayout(a.map(litDouble("hist_sketch_packed_custom", _)).toArray))),
+    // parameterized companion-sketch aggregates: native TypedImperativeAggregate
+    // forms whose accuracy parameters are per-call SQL literals (the udaf
+    // registry can only bind fixed constructor parameters). 1-arg forms use
+    // the library defaults, matching the DSL.
+    "hll_sketch" -> { args =>
+      val p = args.length match {
+        case 1 => graft.sketches.Hll.DefaultPrecision
+        case 2 => litInt("hll_sketch", args(1))
+        case n => throw new IllegalArgumentException(
+          s"hll_sketch expects (item[, precision]), got $n argument(s)")
+      }
+      HllSketchAgg(args.head, p).toAggregateExpression()
+    },
+    "cms_sketch" -> { args =>
+      val (d, w) = args.length match {
+        case 1 => (5, 2048)
+        case 3 => (litInt("cms_sketch", args(1)), litInt("cms_sketch", args(2)))
+        case n => throw new IllegalArgumentException(
+          s"cms_sketch expects (item[, depth, width]), got $n argument(s)")
+      }
+      CountMinSketchAgg(args.head, d, w).toAggregateExpression()
+    },
+    "cms_sketch_weighted" -> { args =>
+      val (d, w) = args.length match {
+        case 2 => (5, 2048)
+        case 4 =>
+          (litInt("cms_sketch_weighted", args(2)), litInt("cms_sketch_weighted", args(3)))
+        case n => throw new IllegalArgumentException(
+          s"cms_sketch_weighted expects (item, weight[, depth, width]), got $n argument(s)")
+      }
+      CountMinWeightedSketchAgg(args(0), Cast(args(1), LongType), d, w)
+        .toAggregateExpression()
+    },
+    "bloom_sketch" -> { args =>
+      val (exp, fpp) = args.length match {
+        case 2 => (litDouble("bloom_sketch", args(1)).toLong, 0.01)
+        case 3 =>
+          (litDouble("bloom_sketch", args(1)).toLong, litDouble("bloom_sketch", args(2)))
+        case n => throw new IllegalArgumentException(
+          s"bloom_sketch expects (item, expected_items[, fpp]), got $n argument(s)")
+      }
+      BloomSketchAgg(args.head, exp, fpp).toAggregateExpression()
+    },
+    "tdigest_sketch" -> { args =>
+      val c = args.length match {
+        case 1 => 100.0
+        case 2 => litDouble("tdigest_sketch", args(1))
+        case n => throw new IllegalArgumentException(
+          s"tdigest_sketch expects (value[, compression]), got $n argument(s)")
+      }
+      TDigestSketchAgg(Cast(args.head, DoubleType), c).toAggregateExpression()
+    },
+    "kll_sketch" -> { args =>
+      val k = args.length match {
+        case 1 => 200
+        case 2 => litInt("kll_sketch", args(1))
+        case n => throw new IllegalArgumentException(
+          s"kll_sketch expects (value[, k]), got $n argument(s)")
+      }
+      KllSketchAgg(Cast(args.head, DoubleType), k).toAggregateExpression()
+    },
     // native bin-index scalar with layout literals (whole-stage codegen)
     "hist_bin_index_log_quadratic" -> expectArgs("hist_bin_index_log_quadratic", 5)(args =>
       HistBinIndex(

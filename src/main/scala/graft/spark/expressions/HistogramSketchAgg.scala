@@ -22,7 +22,8 @@ case class HistogramSketchAgg(
     child: Expression,
     layout: Layout,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    packed: Boolean = false)
     extends TypedImperativeAggregate[Histogram] {
 
   override def children: Seq[Expression] = Seq(child)
@@ -31,7 +32,11 @@ case class HistogramSketchAgg(
 
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): Histogram = Histogram(layout)
+  // packed = adaptive bit-width counters for the PRE-shuffle partial buffers
+  // (where the 10^5-10^6 per-group buffers live); post-shuffle deserialize
+  // rebuilds dynamic counters, which is fine — result bytes are identical
+  override def createAggregationBuffer(): Histogram =
+    if (packed) Histogram.packed(layout) else Histogram(layout)
 
   // Unboxed hot path: after Spark binds references, a plain double column
   // arrives as a BoundReference — read it with getDouble instead of eval()

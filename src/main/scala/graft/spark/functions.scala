@@ -279,17 +279,11 @@ object functions {
       udaf(
         new Aggs.HistogramWeightedAgg(defaultLayout),
         Encoders.tuple(Encoders.DOUBLE, Encoders.LONG)))
-    spark.udf.register(
-      "hll_sketch",
-      udaf(new Aggs.HllStringAgg(Hll.DefaultPrecision), Encoders.STRING))
-    spark.udf.register("cms_sketch", udaf(new Aggs.CountMinAgg(5, 2048), Encoders.STRING))
-    spark.udf.register(
-      "cms_sketch_weighted",
-      udaf(
-        new Aggs.CountMinWeightedAgg(5, 2048),
-        Encoders.tuple(Encoders.STRING, Encoders.LONG)))
-    spark.udf.register("tdigest_sketch", udaf(new Aggs.TDigestAgg(100.0), Encoders.DOUBLE))
-    spark.udf.register("kll_sketch", udaf(new Aggs.KllAgg(200), Encoders.DOUBLE))
+    // hll_sketch / cms_sketch / cms_sketch_weighted / bloom_sketch /
+    // tdigest_sketch / kll_sketch register above as NATIVE parameterized
+    // builders (per-call accuracy literals, e.g. hll_sketch(c, 12),
+    // cms_sketch(c, 5, 1024), bloom_sketch(k, 1e5, 0.01)); the kryo
+    // Aggregator forms stay on the Column DSL (functions.hll_sketch etc.)
     // two-level rollup re-aggregators over stored sketch byte columns
     spark.udf.register("hll_merge", udaf(new Aggs.HllMergeAgg, Encoders.BINARY))
     spark.udf.register("cms_merge", udaf(new Aggs.CountMinMergeAgg, Encoders.BINARY))
@@ -298,8 +292,11 @@ object functions {
     spark.udf.register("kll_merge", udaf(new Aggs.KllMergeAgg, Encoders.BINARY))
     spark.udf.register("hll_estimate", hllEstimateUdf)
     spark.udf.register("cms_estimate", cmsEstimateUdf)
+    spark.udf.register("bloom_might_contain", bloomMightContainUdf)
     spark.udf.register("tdigest_quantile", tdigestQuantileUdf)
+    spark.udf.register("tdigest_cdf", tdigestCdfUdf)
     spark.udf.register("kll_quantile", kllQuantileUdf)
+    spark.udf.register("kll_rank", kllRankUdf)
     // text-analysis / dedup scalar surface for SQL-only users (the column
     // values these compute are oracle-covered through q10/q11/q12/q14/q17;
     // SQL resolution parity is asserted in ExpressionSpec)

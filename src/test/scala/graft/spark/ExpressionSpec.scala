@@ -439,4 +439,97 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out.length == 20000)
     assert(out.forall(_.getLong(1) == 10L))
   }
+
+  test("SQL surface: parameterized companion-sketch native aggregates") {
+    functions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(123L)
+    val rows = (0 until 4000).map { i =>
+      (s"item_${rnd.nextInt(500)}", (i % 7 + 1).toLong, rnd.nextDouble() * 1000.0, i.toLong)
+    }
+    val df = rows.toDF("s", "w", "v", "id")
+    df.createOrReplaceTempView("sql_comp")
+    def bytes(q: String): Array[Byte] =
+      spark.sql(q).collect()(0).getAs[Array[Byte]](0)
+    def dslBytes(c: org.apache.spark.sql.Column): Array[Byte] =
+      df.agg(c).collect()(0).getAs[Array[Byte]](0)
+
+    // deterministic formats: native SQL builder with explicit parameters is
+    // byte-identical to the kryo Aggregator DSL (HLL register-max, CMS
+    // counter-add, Bloom bit-OR are order-insensitive)
+    assert(java.util.Arrays.equals(
+      bytes("SELECT hll_sketch(s, 12) FROM sql_comp"),
+      dslBytes(functions.hll_sketch(col("s"), 12))))
+    assert(java.util.Arrays.equals(
+      bytes("SELECT cms_sketch(s, 7, 1024) FROM sql_comp"),
+      dslBytes(functions.cms_sketch(col("s"), 7, 1024))))
+    assert(java.util.Arrays.equals(
+      bytes("SELECT cms_sketch_weighted(s, w, 7, 1024) FROM sql_comp"),
+      dslBytes(functions.cms_sketch_weighted(col("s"), col("w"), 7, 1024))))
+    assert(java.util.Arrays.equals(
+      bytes("SELECT bloom_sketch(id, 10000, 0.01) FROM sql_comp"),
+      dslBytes(functions.bloom_sketch(col("id"), 10000L, 0.01))))
+    // long input through the native HLL (unboxed ordinal path) matches the
+    // long-typed DSL aggregator
+    assert(java.util.Arrays.equals(
+      bytes("SELECT hll_sketch(id, 12) FROM sql_comp"),
+      dslBytes(functions.hll_sketch_long(col("id"), 12))))
+
+    // default-parameter 1-arg forms still resolve (DSL defaults)
+    assert(java.util.Arrays.equals(
+      bytes("SELECT hll_sketch(s) FROM sql_comp"),
+      dslBytes(functions.hll_sketch(col("s")))))
+
+    // scalar queries over the SQL-built sketches: estimate within HLL bound,
+    // CMS overestimates-only, Bloom no false negatives
+    val distinct = rows.map(_._1).distinct.length.toDouble
+    val est = spark
+      .sql("SELECT hll_estimate(hll_sketch(s, 12)) FROM sql_comp")
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - distinct) / distinct <= 3 * 1.04 / math.sqrt(4096.0))
+    val trueCount = rows.count(_._1 == rows.head._1).toLong
+    val cmsEst = spark
+      .sql(s"SELECT cms_estimate(cms_sketch(s, 7, 1024), '${rows.head._1}') FROM sql_comp")
+      .collect()(0).getLong(0)
+    assert(cmsEst >= trueCount)
+    val contains = spark
+      .sql("""SELECT bloom_might_contain(bloom_sketch(id, 10000, 0.01), 42L),
+                     bloom_might_contain(bloom_sketch(id, 10000, 0.01), -99999L)
+              FROM sql_comp""")
+      .collect()(0)
+    assert(contains.getBoolean(0)) // 42 is a member: never a false negative
+    assert(!contains.getBoolean(1) || true) // FP allowed; just must not throw
+
+    // order-sensitive formats (t-digest/KLL): parameterized SQL forms keep
+    // their rank-error bounds vs the exact order statistics
+    val sorted = rows.map(_._3).sorted
+    def rankOf(x: Double): Double = {
+      val i = sorted.count(_ <= x)
+      i.toDouble / sorted.length
+    }
+    val td = spark
+      .sql("SELECT tdigest_quantile(tdigest_sketch(v, 50.0), 0.5) FROM sql_comp")
+      .collect()(0).getDouble(0)
+    assert(math.abs(rankOf(td) - 0.5) < 0.05, s"tdigest p50 rank ${rankOf(td)}")
+    val kq = spark
+      .sql("SELECT kll_quantile(kll_sketch(v, 160), 0.5) FROM sql_comp")
+      .collect()(0).getDouble(0)
+    assert(math.abs(rankOf(kq) - 0.5) < 0.05, s"kll p50 rank ${rankOf(kq)}")
+
+    // packed-counter histogram SQL form: byte-identical to the plain native
+    // aggregate (packing changes the buffer representation, not the result)
+    assert(java.util.Arrays.equals(
+      bytes("SELECT hist_sketch_packed_log_quadratic(v, 1e-3, 1e-2, 0.0, 1e6) FROM sql_comp"),
+      bytes("SELECT hist_sketch_log_quadratic(v, 1e-3, 1e-2, 0.0, 1e6) FROM sql_comp")))
+    assert(java.util.Arrays.equals(
+      bytes("SELECT hist_sketch_packed_custom(v, 10.0, 500.0, 900.0) FROM sql_comp"),
+      bytes("SELECT hist_sketch_custom(v, 10.0, 500.0, 900.0) FROM sql_comp")))
+
+    // wrong arity fails analysis with the builder's message, not an
+    // IndexOutOfBounds
+    val e = intercept[Exception] {
+      spark.sql("SELECT hll_sketch(s, 12, 99) FROM sql_comp").collect()
+    }
+    assert(e.getMessage.contains("hll_sketch"), e.getMessage)
+  }
 }

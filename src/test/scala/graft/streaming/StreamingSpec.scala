@@ -396,10 +396,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.filter(_.media_type == "audio").forall(f => f.width == 0 && f.duration_ms >= 1000))
     assert(feats.filter(_.media_type == "video").forall(_.n_frames_sampled >= 1))
     // REAL codecs handled every image (PNG) and audio (WAV) payload; video
-    // has no JDK demuxer and takes the deterministic stub
+    // rows are MPNG containers (real demux + per-frame decode) except the
+    // planted every-third opaque-noise row, which takes the stub fallback
     assert(feats.filter(f => f.media_type == "image" || f.media_type == "audio")
       .forall(_.decoded))
-    assert(feats.filter(_.media_type == "video").forall(!_.decoded))
+    val vids = feats.filter(_.media_type == "video")
+    assert(vids.forall(f => f.decoded == (f.media_id % 9 != 2)))
+    val realVids = vids.filter(_.decoded)
+    assert(realVids.nonEmpty && vids.exists(!_.decoded))
+    // demuxed features come from the container itself: synthesize ranges
+    // w 24..39, h 16..23, 3-10 frames at 4 fps, sampler cap 8
+    assert(realVids.forall(f => f.width >= 24 && f.width <= 39))
+    assert(realVids.forall(f => f.height >= 16 && f.height <= 23))
+    assert(realVids.forall(f => f.duration_ms >= 750 && f.duration_ms <= 2500))
+    assert(realVids.forall(f => f.n_frames_sampled >= 3 && f.n_frames_sampled <= 8))
     // real image dims come from the PNG itself (synthesize range 64..127)
     assert(feats.filter(_.media_type == "image").forall(f =>
       f.width <= 127 && f.height >= 64 && f.height <= 127))
@@ -444,5 +454,36 @@ class MultimodalSpec extends AnyFunSuite {
     // non-media payloads are rejected, not mis-decoded
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
+  test("MPNG demux: frame table, bounded ceil-stride sampling, rejection paths") {
+    import graft.multimodal._
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // 12 frames at 4 fps: duration = 12*1000/4 = 3000 ms; maxSample 8 ->
+    // stride = ceil(12/8) = 2 -> frames 0,2,4,6,8,10 decoded = 6 sampled
+    val frames = (0 until 12).map(i => png(if (i % 2 == 0) 0xffffff else 0x000000))
+    val v = Multimodal.demuxVideo(Multimodal.encodeMpng(frames, 4)).get
+    assert(v.width == 6 && v.height == 4)
+    assert(v.nFrames == 12 && v.nSampled == 6 && v.durationMs == 3000)
+    // all sampled frames are the white ones -> pooled embedding is the
+    // all-white cell pattern, L2-normalized: every cell 1/sqrt(16)
+    v.embedding.foreach(c => assert(math.abs(c - 0.25f) < 1e-6f))
+    // <= maxSample frames decode regardless of length
+    val long = Multimodal.encodeMpng((0 until 100).map(_ => png(0x808080)), 10)
+    val lv = Multimodal.demuxVideo(long).get
+    assert(lv.nFrames == 100 && lv.nSampled <= 8 && lv.durationMs == 10000)
+    // rejection: wrong magic, truncated frame table, corrupt frame bytes
+    assert(Multimodal.demuxVideo("AVI1not-a-container".getBytes).isEmpty)
+    val whole = Multimodal.encodeMpng(frames.take(2), 4)
+    assert(Multimodal.demuxVideo(whole.dropRight(10)).isEmpty)
+    val corrupt = whole.clone()
+    corrupt(20) = (corrupt(20) ^ 0x7f).toByte // inside frame 0's PNG stream
+    assert(Multimodal.demuxVideo(corrupt).isEmpty)
   }
 }
