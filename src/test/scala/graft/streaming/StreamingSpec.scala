@@ -378,6 +378,97 @@ class StreamingSpec extends AnyFunSuite {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("RocksDB state store: dedup + stateful sketch semantics are provider-identical") {
+    import spark.implicits._
+    // At the target scale the streaming state (dedup fingerprints, per-key
+    // sketches) outgrows executor heap; RocksDBStateStoreProvider keeps it
+    // off-heap/on-disk. Semantics must not depend on the provider: replay
+    // the within-watermark eviction scenario and the per-key sketch flow
+    // under RocksDB and assert the exact same emissions as the
+    // HDFSBacked-default tests above.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rocksdb").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def write(rows: Seq[(Long, String, String)], mode: String): Unit =
+        rows
+          .toDF("doc_id", "text", "ts_s")
+          .select(col("doc_id"), col("text"), col("ts_s").cast("timestamp").as("ts"))
+          .write
+          .mode(mode)
+          .parquet(s"$tmp/in")
+      write(Seq((1L, "alpha beta gamma", "2024-01-01 00:00:00")), "overwrite")
+      val stream = spark.readStream
+        .schema("doc_id long, text string, ts timestamp")
+        .parquet(s"$tmp/in")
+      val q = StreamingSketch
+        .streamingExactDedupWithinWatermark(stream, "text", "ts", "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        write(Seq(
+          (2L, "alpha beta gamma", "2024-01-01 00:00:05"),
+          (3L, "watermark advancer", "2024-01-01 00:01:40")), "append")
+        q.processAllAvailable()
+        write(Seq((4L, "alpha beta gamma", "2024-01-01 00:01:35")), "append")
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = spark.read.parquet(s"$tmp/out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L), s"RocksDB dedup emissions differ: $ids")
+
+      // flatMapGroupsWithState state cell through RocksDB: final per-key
+      // sketch must still be byte-identical to a single-pass kernel build
+      val rnd = new java.util.SplittableRandom(7L)
+      val rows = (0 until 3000).map(i => (s"k${i % 2}", rnd.nextDouble() * 50))
+      rows.toDF("k", "v").write.parquet(s"$tmp/in2")
+      val stream2 = spark.readStream
+        .schema("k string, v double")
+        .parquet(s"$tmp/in2")
+        .as[(String, Double)]
+      val q2 = StreamingSketch
+        .statefulPerKeyHistogramSketch(stream2, layout)
+        .toDF("k", "n", "sketch")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt2")
+        .format("memory")
+        .queryName("rocksdb_sketch_out")
+        .start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val got = spark
+        .table("rocksdb_sketch_out")
+        .groupBy(col("k"))
+        .agg(max(struct(col("n"), col("sketch"))).as("f"))
+        .select(col("k"), col("f.sketch"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val h = graft.core.Histogram(layout)
+        rs.foreach(r => h.addValue(r._2))
+        assert(
+          java.util.Arrays.equals(got(k), graft.core.SketchEnvelope.toBytes(h)),
+          s"key $k: RocksDB-backed state != batch build")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
