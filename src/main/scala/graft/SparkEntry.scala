@@ -75,64 +75,135 @@ object SparkEntry {
   private val docLenBoundaries = Seq(0.0, 50.0, 100.0, 200.0, 400.0, 800.0, 1600.0, 3200.0)
 
   /**
-   * Exact SciPy-mquantiles (alphap=betap=0.4) per-group quantiles via
-   * distributed order statistics: z = -0.6 + p*(n+0.2); exact = v[floor(z)] +
-   * frac * (v[floor(z)+1] - v[floor(z)]) over 0-indexed sorted values.
-   * Returns (groupCol, p, exact_q).
+   * Distributed exact order statistics: the values at the requested
+   * within-group ranks (0-indexed over each group's ascending value order).
+   * `ranksFor(n)` names the ranks wanted for a group of size n, so callers
+   * whose targets depend on the group size (quantile plotting positions,
+   * n-derived rank grids) need no separate counting job.
    *
    * Scale-safe by construction: a range-partitioned total sort on
-   * (group, value) + RDD zipWithIndex assigns global positions across many
-   * narrow partitions; subtracting each group's start offset (a tiny
-   * broadcast aggregate) yields within-group ranks. No per-group window
-   * partition ever holds a whole group, so this oracle holds up at any sf
-   * (the previous windowed form put n/groups rows in one WindowExec
-   * partition).
+   * (group, value) spreads every group over many narrow partitions (no
+   * per-group window partition ever holds a whole group). On top of that one
+   * sorted exchange, TWO mapPartitions passes run: pass 1 collects per-
+   * partition (group, count) runs — O(partitions x groups) bytes — from
+   * which the driver derives each group's size and each partition's starting
+   * rank per group; pass 2 walks the same sorted partitions (the sort
+   * shuffle files are reused — same RDD lineage) emitting only the targeted
+   * ranks. This replaces the previous sort + RDD zipWithIndex + bounds
+   * aggregation + broadcast join + explode pipeline (measured 8 jobs) with
+   * 3 jobs and no second shuffle (guide §2.4: remove shuffles outright).
+   *
+   * Returns (group -> n, (group, rank) -> value). Group values must be
+   * non-null strings and values non-null doubles (both call sites hold).
+   */
+  private[graft] def exactOrderStatistics(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ranksFor: Long => Seq[Long]): (Map[String, Long], Map[(String, Long), Double]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(groupCol).cast("string"), col(valueCol).cast("double"))
+      .repartitionByRange(col(groupCol), col(valueCol))
+      .sortWithinPartitions(col(groupCol), col(valueCol))
+      .as[(String, Double)]
+    val rdd = sorted.rdd // built once: both passes reuse the sort's shuffle
+    // pass 1: per-partition (group, rowCount) runs, in partition order
+    val partRuns: Array[(Int, Array[(String, Long)])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var cur: String = null
+        var n = 0L
+        var any = false
+        it.foreach { case (g, _) =>
+          if (!any || g != cur) {
+            if (any) runs += ((cur, n))
+            cur = g; n = 0L; any = true
+          }
+          n += 1L
+        }
+        if (any) runs += ((cur, n))
+        Iterator.single((pid, runs.toArray))
+      }
+      .collect()
+    // driver: group sizes + each partition's global start rank per group
+    val groupN = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val partBase = Map.newBuilder[(Int, String), Long]
+    partRuns.sortBy(_._1).foreach { case (pid, runs) =>
+      runs.foreach { case (g, c) =>
+        val sofar = groupN.getOrElse(g, 0L)
+        partBase += ((pid, g) -> sofar)
+        groupN(g) = sofar + c
+      }
+    }
+    val needed: Map[String, Array[Long]] = groupN.toMap.map { case (g, n) =>
+      g -> ranksFor(n).filter(r => r >= 0L && r < n).distinct.sorted.toArray
+    }
+    // pass 2: walk the sorted partitions once, emitting only targeted ranks
+    val bc = spark.sparkContext.broadcast((partBase.result(), needed))
+    val hits: Map[(String, Long), Double] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val (bases, need) = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Double)]
+        var cur: String = null
+        var any = false
+        var rank = 0L
+        var want: Array[Long] = Array.emptyLongArray
+        var wi = 0
+        it.foreach { case (g, v) =>
+          if (!any || g != cur) {
+            cur = g; any = true
+            rank = bases.getOrElse((pid, g), 0L)
+            want = need.getOrElse(g, Array.emptyLongArray)
+            wi = {
+              val idx = java.util.Arrays.binarySearch(want, rank)
+              if (idx < 0) -idx - 1 else idx
+            }
+          }
+          if (wi < want.length && want(wi) == rank) {
+            out += (((g, rank), v)); wi += 1
+          }
+          rank += 1L
+        }
+        out.iterator
+      }
+      .collect()
+      .toMap
+    (groupN.toMap, hits)
+  }
+
+  /**
+   * Exact SciPy-mquantiles (alphap=betap=0.4) per-group quantiles via
+   * [[exactOrderStatistics]]: z = -0.6 + p*(n+0.2) clamped to [0, n-1];
+   * exact = v[floor(z)] + frac * (v[floor(z)+1] - v[floor(z)]) over
+   * 0-indexed sorted values (the interpolation arithmetic is the identical
+   * IEEE sequence the previous in-frame expression evaluated, so results
+   * are bit-identical). Returns local (group, p, exact_q) triples.
    */
   private def exactSciPyQuantiles(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      ps: Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
-    val base = df.select(col(groupCol), col(valueCol)).sort(col(groupCol), col(valueCol))
-    val schema = base.schema.add("__gidx", org.apache.spark.sql.types.LongType, nullable = false)
-    val withIdx = spark.createDataFrame(
-      base.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      },
-      schema)
-    val bounds = withIdx
-      .groupBy(col(groupCol))
-      .agg(min(col("__gidx")).as("__gstart"), count(lit(1)).as("__n"))
-    val ranked = withIdx
-      .join(broadcast(bounds), Seq(groupCol))
-      .withColumn("__rn", col("__gidx") - col("__gstart"))
-    // fan out per requested p and keep only the two order statistics each p
-    // needs (narrow filter, codegen'd)
-    val pDf = ranked
-      .withColumn("p", explode(array(ps.map(lit): _*)))
-      .withColumn(
-        "__z",
-        least(
-          greatest(lit(-0.6) + col("p") * (col("__n") + lit(0.2)), lit(0.0)),
-          col("__n").cast("double") - lit(1.0)))
-      .withColumn("__lo", floor(col("__z")).cast("long"))
-      .filter(col("__rn") === col("__lo") || col("__rn") === col("__lo") + 1)
-    // combine the two order statistics per (group, p)
-    pDf
-      .groupBy(col(groupCol), col("p"))
-      .agg(
-        min(col("__z")).as("__z"),
-        min(col("__lo")).as("__lo"),
-        min(when(col("__rn") === col("__lo"), col(valueCol))).as("__vlo"),
-        min(when(col("__rn") === col("__lo") + 1, col(valueCol))).as("__vhi"))
-      .withColumn(
-        "exact_q",
-        when(col("__z") === col("__lo").cast("double"), col("__vlo"))
-          .otherwise(
-            col("__vlo") + (col("__z") - col("__lo").cast("double")) *
-              (coalesce(col("__vhi"), col("__vlo")) - col("__vlo"))))
-      .select(col(groupCol), col("p"), col("exact_q"))
+      ps: Seq[Double]): Seq[(String, Double, Double)] = {
+    def zOf(p: Double, n: Long): Double =
+      math.min(math.max(-0.6 + p * (n + 0.2), 0.0), n.toDouble - 1.0)
+    val (groupN, hits) = exactOrderStatistics(
+      df, groupCol, valueCol,
+      n => ps.flatMap { p =>
+        val lo = math.floor(zOf(p, n)).toLong
+        Seq(lo, lo + 1L)
+      })
+    groupN.toSeq.flatMap { case (g, n) =>
+      ps.map { p =>
+        val z = zOf(p, n)
+        val lo = math.floor(z).toLong
+        val vlo = hits((g, lo))
+        val vhi = hits.getOrElse((g, lo + 1L), vlo)
+        val q = if (z == lo.toDouble) vlo else vlo + (z - lo.toDouble) * (vhi - vlo)
+        (g, p, q)
+      }
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -182,29 +253,35 @@ object SparkEntry {
           hist_underflow(col("sk2")).as("n_under"),
           hist_overflow(col("sk2")).as("n_over"))
     },
-    // 3. histogram quantile error vs exact SciPy order statistics
+    // 3. histogram quantile error vs exact SciPy order statistics. The est
+    //    side collects one row per group (the native hist_quantiles
+    //    expression, values unchanged); the exact side runs the 3-job
+    //    order-statistics path; the former broadcast join of the two
+    //    3-row frames is a driver-side lookup (guide §2.4 — the join and
+    //    its jobs removed outright; result values bit-identical).
     "q03_hist_quantile_bound" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
       val ps = Seq(0.5, 0.99)
-      val sketches = li
+      val est: Map[(String, Double), Double] = li
         .groupBy(col("l_returnflag"))
         .agg(hist_sketch_binary(col("l_extendedprice"), priceLogLayout).as("sk"))
-        .select(
-          col("l_returnflag"),
-          explode(
-            arrays_zip(
-              array(ps.map(lit): _*).as("p"),
-              hist_quantiles(col("sk"), ps).as("est"))).as("pe"))
-        .select(col("l_returnflag"), col("pe.p").as("p"), col("pe.est").as("est"))
-      val exact = exactSciPyQuantiles(li, "l_returnflag", "l_extendedprice", ps)
-      sketches
-        .join(exact, Seq("l_returnflag", "p"))
-        .select(
-          col("l_returnflag"),
-          col("p"),
-          (abs(col("est") - col("exact_q")) <=
-            greatest(lit(1e-3), lit(1e-2) * abs(col("exact_q"))) * lit(1 + 1e-9)).as("ok"))
-        .orderBy(col("l_returnflag"), col("p"))
+        .select(col("l_returnflag"), hist_quantiles(col("sk"), ps).as("est"))
+        .collect()
+        .flatMap { r =>
+          val g = r.getString(0)
+          val arr = r.getSeq[Double](1)
+          ps.zipWithIndex.map { case (p, i) => (g, p) -> arr(i) }
+        }
+        .toMap
+      val rows = exactSciPyQuantiles(li, "l_returnflag", "l_extendedprice", ps)
+        .map { case (g, p, exactQ) =>
+          val e = est((g, p))
+          val ok = math.abs(e - exactQ) <=
+            math.max(1e-3, 1e-2 * math.abs(exactQ)) * (1 + 1e-9)
+          (g, p, ok)
+        }
+      import s.implicits._
+      rows.toDF("l_returnflag", "p", "ok").orderBy(col("l_returnflag"), col("p"))
     },
     // 4. HLL distinct count within 3 standard errors; exact count re-derived
     "q04_hll_distinct" -> { (s, dir) =>
@@ -237,24 +314,31 @@ object SparkEntry {
     },
     // 6. bloom membership: zero false negatives on the FK side, bounded FPP
     "q06_bloom_membership" -> { (s, dir) =>
+      // count + max fused into one customer pass (was two), and the Bloom
+      // sketch is built ONCE and carried as a binary literal — the previous
+      // crossJoin(sk) subtree re-ran the whole customer aggregation for
+      // each of the two probe sides (guide §1.2: don't compute things
+      // twice). Values and output are unchanged.
       val cust = table(s, dir, "customer")
       val orders = table(s, dir, "orders")
-      val nCust = cust.count()
-      val sk = cust.agg(bloom_sketch(col("c_custkey"), math.max(nCust, 1000), 0.01).as("sk"))
+      val r0 = cust.agg(count(lit(1)).as("n"), max(col("c_custkey")).as("mx")).collect()(0)
+      val nCust = r0.getLong(0)
+      val maxKey = r0.getLong(1)
+      val skBytes = cust
+        .agg(bloom_sketch(col("c_custkey"), math.max(nCust, 1000), 0.01).as("sk"))
+        .collect()(0)
+        .getAs[Array[Byte]](0)
       val probed = orders
         .select(col("o_custkey")).distinct()
-        .crossJoin(sk)
         .agg(
           count(lit(1)).as("n_probed"),
-          sum(when(bloom_might_contain(col("sk"), col("o_custkey")), 1L).otherwise(0L))
+          sum(when(bloom_might_contain(lit(skBytes), col("o_custkey")), 1L).otherwise(0L))
             .as("n_contained"))
       // negative probes: keys far outside the customer key space
-      val maxKey = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
       val fp = s
         .range(maxKey + 1000000, maxKey + 1010000)
-        .crossJoin(sk)
         .agg(
-          sum(when(bloom_might_contain(col("sk"), col("id")), 1L).otherwise(0L)).as("n_fp"))
+          sum(when(bloom_might_contain(lit(skBytes), col("id")), 1L).otherwise(0L)).as("n_fp"))
         .collect()(0)
         .getLong(0)
       probed.select(
@@ -620,8 +704,12 @@ object SparkEntry {
             2 * plantOffset + id, "video",
             graft.multimodal.Multimodal.encodeMpng(frames, 4), "planted")
         }
-      val feats = graft.multimodal.Multimodal.extractFeatures(
-        opaque.unionByName(planted).unionByName(plantedVideo))
+      // materialize the synthesized media ONCE: extractFeatures range-
+      // partitions by payload size, whose range-boundary sampling evaluates
+      // the input a second time — without this checkpoint every planted PNG/
+      // MPNG would be ImageIO-encoded twice (guide §1.2: don't recompute)
+      val media = opaque.unionByName(planted).unionByName(plantedVideo).localCheckpoint()
+      val feats = graft.multimodal.Multimodal.extractFeatures(media)
       val isImg = col("media_type") === "image"
       val isVid = col("media_type") === "video"
       feats
@@ -704,8 +792,15 @@ object SparkEntry {
     //     estimate lies in the bin containing the rank, so the error is
     //     bounded by the layout's bin-width limits; ranks 0 and n-1 are exact)
     "q24_hist_value_at_rank" -> { (s, dir) =>
-      val li = table(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
-      val n = li.count()
+      // exact order statistics via the shared 3-job range-sort machinery
+      // (one sorted exchange + two mapPartitions passes) — this also yields
+      // n, so the previous separate count() job and the sort+zipWithIndex
+      // chain (measured 8 exact-side jobs) are gone; values identical
+      val li = table(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), lit("g").as("g"))
+      val (groupN, hits) = exactOrderStatistics(
+        li, "g", "v", n => Seq(0L, n / 4, n / 2, (3 * n) / 4, n - 1))
+      val n = groupN("g")
       val ranks = Seq(0L, n / 4, n / 2, (3 * n) / 4, n - 1)
       val estRow = li
         .agg(hist_sketch_binary(col("v"), priceLogLayout).as("sk"))
@@ -713,22 +808,9 @@ object SparkEntry {
           hist_value_at_rank(col("sk"), lit(r)).as(s"e$i")
         }: _*)
         .collect()(0)
-      // exact order statistics via distributed sort + zipWithIndex — no
-      // single-partition global window; only the |ranks| hits are collected
-      val rankSet = ranks.toSet
-      val exactByRank = li
-        .select(col("v"))
-        .sort(col("v"))
-        .rdd
-        .map(_.getDouble(0))
-        .zipWithIndex()
-        .filter { case (_, idx) => rankSet.contains(idx) }
-        .map { case (v, idx) => (idx, v) }
-        .collect()
-        .toMap
       val rows = ranks.zipWithIndex.map { case (r, i) =>
         val est = estRow.getDouble(i)
-        val exact = exactByRank(r)
+        val exact = hits(("g", r))
         val ok =
           if (r == 0L || r == n - 1) est == exact // min/max are tracked exactly
           else math.abs(est - exact) <= math.max(1e-3, 1e-2 * math.abs(exact)) * (1 + 1e-9)
@@ -745,6 +827,10 @@ object SparkEntry {
       val layout = LogQuadraticLayout(1e-3, 1e-2, -1e5, 1e6)
       val li = table(s, dir, "lineitem")
         .select(col("l_returnflag"), (col("l_extendedprice") - lit(30000.0)).as("v"))
+      // est/n/mn/mx collected per group (3 rows, native expressions —
+      // values unchanged); exact side on the shared 3-job order-statistics
+      // path; the former broadcast join is a driver-side lookup (q03's
+      // treatment)
       val sketches = li
         .groupBy(col("l_returnflag"))
         .agg(hist_sketch_binary(col("v"), layout).as("sk"))
@@ -754,18 +840,19 @@ object SparkEntry {
           hist_min(col("sk")).as("mn"),
           hist_max(col("sk")).as("mx"),
           hist_quantile(col("sk"), 0.5).as("est"))
-      val exact = exactSciPyQuantiles(li, "l_returnflag", "v", Seq(0.5))
-        .select(col("l_returnflag"), col("exact_q"))
-      sketches
-        .join(exact, Seq("l_returnflag"))
-        .select(
-          col("l_returnflag"),
-          col("n"),
-          col("mn"),
-          col("mx"),
-          (abs(col("est") - col("exact_q")) <=
-            greatest(lit(1e-3), lit(1e-2) * abs(col("exact_q"))) * lit(1 + 1e-9)).as("ok"))
-        .orderBy(col("l_returnflag"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))
+        .toMap
+      val rows = exactSciPyQuantiles(li, "l_returnflag", "v", Seq(0.5))
+        .map { case (g, _, exactQ) =>
+          val (n, mn, mx, est) = sketches(g)
+          val ok = math.abs(est - exactQ) <=
+            math.max(1e-3, 1e-2 * math.abs(exactQ)) * (1 + 1e-9)
+          (g, n, mn, mx, ok)
+        }
+      import s.implicits._
+      rows.toDF("l_returnflag", "n", "mn", "mx", "ok").orderBy(col("l_returnflag"))
     },
     // 26. count-weighted histogram (reference addValue(double, long) —
     //     Histogram.java:282-290): bin counts of l_extendedprice weighted by
@@ -789,9 +876,17 @@ object SparkEntry {
     //     KLL merges keep their rank-error bounds; the weighted CMS is
     //     bound-checked against exact weighted counts.
     "q27_sketch_rollup" -> { (s, dir) =>
-      // five independent aggregation passes (partials, direct, stats,
-      // weighted sketch, weighted check) read the same six columns: persist
-      // the projected frame once instead of rescanning parquet five times.
+      // THREE aggregation passes over a once-persisted six-column projection
+      // (was five — guide §1.2: fewer full passes): (1) the kryo-Aggregator
+      // partials (the stored-sketch-table level, keeping kryo coverage),
+      // (2) direct single-level sketches + the weighted CMS folded into ONE
+      // pass on the native TypedImperativeAggregate forms (byte-identical
+      // to the kryo forms — ExpressionSpec parity; the byte-compares below
+      // assert it in-query), (3) stats + per-flag weighted sums folded into
+      // ONE rollup pass (the grouping-sets trick: global row + per-flag rows
+      // from a single shuffle). The weighted-CMS bound check evaluates
+      // driver-side on the collected sketch bytes via the same CountMin
+      // kernel the cms_estimate UDF calls — 3 rows, identical arithmetic.
       // MEMORY_AND_DISK, not MEMORY_ONLY — eviction under memory pressure
       // must spill, not trigger recompute storms (measured round 2).
       val li = table(s, dir, "lineitem")
@@ -822,7 +917,16 @@ object SparkEntry {
           tdigest_merge(col("td")).as("td"),
           kll_merge(col("kll")).as("kll"))
         .collect()(0)
-      val direct = li.agg(aggs(0), aggs(1), aggs(2), aggs(3)).collect()(0)
+      val direct = li.agg(
+        hist_sketch_binary(col("l_extendedprice"), priceLayout).as("hist"),
+        graft.spark.expressions.HllSketchAgg(
+          col("l_partkey"), graft.sketches.Hll.DefaultPrecision).as("hll"),
+        graft.spark.expressions.CountMinSketchAgg(col("l_returnflag"), 5, 2048).as("cms"),
+        graft.spark.expressions.BloomSketchAgg(
+          col("l_orderkey"), 1 << 20, 0.01).as("bloom"),
+        graft.spark.expressions.CountMinWeightedSketchAgg(
+          col("l_returnflag"), col("l_linenumber").cast("long"), 5, 2048).as("wsk"))
+        .collect()(0)
       def b(r: org.apache.spark.sql.Row, i: Int): Array[Byte] = r.getAs[Array[Byte]](i)
       val histId = java.util.Arrays.equals(b(merged, 0), b(direct, 0))
       val hllId = java.util.Arrays.equals(b(merged, 1), b(direct, 1))
@@ -832,31 +936,28 @@ object SparkEntry {
       val tdEst = graft.sketches.TDigest.fromBytes(b(merged, 4)).quantile(0.5)
       val kllEst = graft.sketches.Kll.fromBytes(b(merged, 5)).quantile(0.5)
       val stats = li
+        .rollup(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
           countDistinct(col("l_partkey")).as("n_parts"),
+          sum(col("l_linenumber").cast("long")).as("w"),
           sum(when(col("l_extendedprice") <= tdEst, 1L).otherwise(0L)).as("le_td"),
           sum(when(col("l_extendedprice") <= kllEst, 1L).otherwise(0L)).as("le_kll"))
-        .collect()(0)
-      val n = stats.getLong(0)
-      val nParts = stats.getLong(1)
-      val tdOk = math.abs(stats.getLong(2).toDouble / n - 0.5) <= 0.015
-      val kllOk = math.abs(stats.getLong(3).toDouble / n - 0.5) <= 0.015
+        .collect()
+      val global = stats.find(_.isNullAt(0)).get
+      val n = global.getLong(1)
+      val nParts = global.getLong(2)
+      val tdOk = math.abs(global.getLong(4).toDouble / n - 0.5) <= 0.015
+      val kllOk = math.abs(global.getLong(5).toDouble / n - 0.5) <= 0.015
       // weighted CMS (reference count-weighted addValue): no underestimate,
-      // bounded overestimate vs exact weighted counts
-      val wsk = li.agg(cms_sketch_weighted(
-        col("l_returnflag"), col("l_linenumber").cast("long"), 5, 2048).as("sk"))
-      val wOk = li
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_linenumber").cast("long")).as("w"))
-        .crossJoin(wsk)
-        .select(
-          (cms_estimate(col("sk"), col("l_returnflag")) >= col("w") &&
-            cms_estimate(col("sk"), col("l_returnflag")) <=
-              col("w") + lit(3 * math.E / 2048) * cms_total(col("sk"))).as("ok"))
-        .agg(min(col("ok")))
-        .collect()(0)
-        .getBoolean(0)
+      // bounded overestimate vs exact weighted counts — the same CountMin
+      // calls cms_estimate/cms_total made, on the same bytes
+      val wcms = graft.sketches.CountMin.fromBytes(b(direct, 4))
+      val wOk = stats.filter(!_.isNullAt(0)).forall { r =>
+        val est = wcms.estimateString(r.getString(0))
+        val w = r.getLong(3)
+        est >= w && est <= w + (3 * math.E / 2048) * wcms.total
+      }
       import s.implicits._
       // every action ran above; the returned frame is a local Seq with no
       // lineage into the persisted scan, so unpersisting here is safe
@@ -1276,6 +1377,12 @@ object SparkEntry {
     //     expected counts don't depend on whether suppressed duplicates
     //     extend state expiry. The oracle re-derives all three emission
     //     counts from the q12 canonicalization + the id arithmetic.
+    //     SPARK-VERSION DEPENDENCE (advice-r6): the dropDuplicatesWithin-
+    //     Watermark contract only guarantees dedup WITHIN the delay window;
+    //     b2 deduping against b1 state (2 days apart, 1-hour delay) relies
+    //     on Spark 4.1 keeping state until the watermark actually passes
+    //     expiry ("events farther apart may or may not be deduplicated").
+    //     Re-derive the expected counts if an upgrade changes that timing.
     "q36_streaming_dedup_watermark" -> { (s, dir) =>
       import s.implicits._
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1292,6 +1399,11 @@ object SparkEntry {
           .parquet(in)
         val deduped = graft.streaming.StreamingSketch
           .streamingExactDedupWithinWatermark(stream, "text", "ts", "1 hour")
+        // per-phase emission counts ride the sink write itself (Observation
+        // on the foreachBatch action — q35's treatment) instead of re-
+        // reading the output directory after every phase: three read+count
+        // round-trips removed, same numbers
+        val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
         // dedup state = one 8-byte fingerprint per LIVE (unexpired) doc:
         // state-store width sized from the corpus like q35
         withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
@@ -1300,16 +1412,19 @@ object SparkEntry {
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/ckpt")
             .foreachBatch { (df: DataFrame, _: Long) =>
-              df.write.mode("append").parquet(out)
+              val obs = org.apache.spark.sql.Observation()
+              df.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(out)
+              emitted.addAndGet(obs.get("n").asInstanceOf[Long])
+              ()
             }
             .start()
-          val (nB1, nB2) = try {
+          val (nB1, nB2, nTotal) = try {
             q.processAllAvailable()
-            val n1 = s.read.parquet(out).count()
+            val n1 = emitted.get()
             stamped(docs.filter(!isEven), "2024-01-03 00:00:00")
               .write.mode("append").parquet(in)
             q.processAllAvailable()
-            val n2 = s.read.parquet(out).count() - n1
+            val n2 = emitted.get() - n1
             // b3: replay of EVICTED state only — even ids divisible by 4
             // whose fingerprint never occurs among odd ids (their only state
             // entry was b1's, gone after b2's watermark advance)
@@ -1322,9 +1437,8 @@ object SparkEntry {
               .select(col("doc_id"), col("text"))
             stamped(b3, "2024-01-03 00:30:00").write.mode("append").parquet(in)
             q.processAllAvailable()
-            (n1, n2)
+            (n1, n2, emitted.get())
           } finally if (q.isActive) q.stop()
-          val nTotal = s.read.parquet(out).count()
           Seq((nB1, nB2, nTotal - nB1 - nB2))
             .toDF("n_b1", "n_b2", "n_b3_reemitted")
         }
@@ -1342,6 +1456,8 @@ object SparkEntry {
     "q35_streaming_dedup" -> { (s, dir) =>
       import s.implicits._
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // one counting job sizes the state width AND supplies n_in (was two)
+      val nIn = docs.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
       try {
         val in = s"$tmp/in"
@@ -1350,24 +1466,33 @@ object SparkEntry {
         docs.filter(isB1).write.parquet(in)
         val stream = s.readStream.schema("doc_id long, text string").parquet(in)
         val deduped = graft.streaming.StreamingSketch.streamingExactDedup(stream, "text")
+        // per-phase emission counts ride the sink write itself (Observation
+        // piggybacks on the same foreachBatch action) instead of re-reading
+        // the output directory between phases — fewer jobs, same numbers
+        val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
         // dedup state = one 8-byte fingerprint per distinct doc: size the
         // state-store width from the corpus like the other streaming queries
         withShufflePartitions(s, graft.text.Dedup.pairGraphShuffleWidth(
-          docs.count(), s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
+          nIn, s.sparkContext.defaultParallelism, targetRowsPerTask = 50000L)) {
           val q = deduped.writeStream
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/ckpt")
             .foreachBatch { (df: DataFrame, _: Long) =>
-              df.write.mode("append").parquet(out)
+              val obs = org.apache.spark.sql.Observation()
+              df.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(out)
+              emitted.addAndGet(obs.get("n").asInstanceOf[Long])
+              ()
             }
             .start()
           val nB1 = try {
             q.processAllAvailable()
-            val n = s.read.parquet(out).count()
+            val n = emitted.get()
             docs.filter(!isB1).write.mode("append").parquet(in)
             q.processAllAvailable()
             n
           } finally if (q.isActive) q.stop()
+          // the global distinct-fingerprint check still reads the full
+          // output (it must see ALL emitted rows at once)
           val outDf = s.read.parquet(out)
           val (nTotal, nDistinctFp) = {
             val r = outDf
@@ -1375,7 +1500,6 @@ object SparkEntry {
               .collect()(0)
             (r.getLong(0), r.getLong(1))
           }
-          val nIn = docs.count()
           Seq((nIn, nB1, nTotal - nB1, nDistinctFp == nTotal))
             .toDF("n_in", "n_b1", "n_b2", "no_dup_in_output")
         }

@@ -42,25 +42,39 @@ abstract class CompanionSketchAgg[S <: AnyRef] extends TypedImperativeAggregate[
 
 /** Item-keyed sketches (HLL / CMS / Bloom): string inputs hash as strings,
  * integral inputs as longs — matching the `Aggs.*StringAgg`/`*LongAgg`
- * split, dispatched on the child's type at bind time. */
+ * split, dispatched on the child's type at bind time.
+ *
+ * String rows hash the `UTF8String`'s UTF-8 bytes directly
+ * (`Hashing.hashBytes`, bit-identical to `hashString` which is defined as
+ * the hash of the UTF-8 encoding) — no per-row `java.lang.String`
+ * materialization on the 100 TB string-key path; both string and long
+ * bound-reference children take an unboxed ordinal read. */
 abstract class ItemSketchAgg[S <: AnyRef] extends CompanionSketchAgg[S] {
-  protected def addString(buffer: S, v: String): Unit
+  protected def addHash(buffer: S, h: Long): Unit
   protected def addLong(buffer: S, v: Long): Unit
 
-  // unboxed fast path for long inputs; strings arrive as UTF8String either way
   @transient private lazy val longOrdinal: Int = child match {
     case b: BoundReference if b.dataType == LongType => b.ordinal
     case _ => -1
   }
+  @transient private lazy val stringOrdinal: Int = child match {
+    case b: BoundReference if b.dataType == StringType => b.ordinal
+    case _ => -1
+  }
 
   override def update(buffer: S, input: InternalRow): S = {
-    val ord = longOrdinal
-    if (ord >= 0) {
-      if (!input.isNullAt(ord)) addLong(buffer, input.getLong(ord))
+    val lOrd = longOrdinal
+    if (lOrd >= 0) {
+      if (!input.isNullAt(lOrd)) addLong(buffer, input.getLong(lOrd))
+    } else if (stringOrdinal >= 0) {
+      val sOrd = stringOrdinal
+      if (!input.isNullAt(sOrd))
+        addHash(buffer, Hashing.hashBytes(input.getUTF8String(sOrd).getBytes))
     } else {
       val v = child.eval(input)
       if (v != null) v match {
-        case s: org.apache.spark.unsafe.types.UTF8String => addString(buffer, s.toString)
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          addHash(buffer, Hashing.hashBytes(s.getBytes))
         case l: java.lang.Long                           => addLong(buffer, l.longValue())
         case i: java.lang.Integer                        => addLong(buffer, i.longValue())
         case other =>
@@ -101,7 +115,7 @@ case class HllSketchAgg(
     inputAggBufferOffset: Int = 0)
     extends ItemSketchAgg[Hll] {
   override def createAggregationBuffer(): Hll = Hll(precision)
-  override protected def addString(b: Hll, v: String): Unit = b.addString(v)
+  override protected def addHash(b: Hll, h: Long): Unit = b.addHash(h)
   override protected def addLong(b: Hll, v: Long): Unit = b.addLong(v)
   override def merge(buffer: Hll, other: Hll): Hll = buffer.merge(other)
   override protected def toBytes(s: Hll): Array[Byte] = s.toBytes
@@ -115,6 +129,17 @@ case class HllSketchAgg(
   override def prettyName: String = "hll_sketch"
 }
 
+object HllSketchAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column constructor (the [[graft.spark.expressions.HistogramSketchAgg]]
+   * DSL pattern): native aggregate with the compact wire-format buffer. */
+  def apply(c: Column, precision: Int): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.expression(c), precision).toAggregateExpression())
+}
+
 case class CountMinSketchAgg(
     child: Expression,
     depth: Int,
@@ -123,7 +148,7 @@ case class CountMinSketchAgg(
     inputAggBufferOffset: Int = 0)
     extends ItemSketchAgg[CountMin] {
   override def createAggregationBuffer(): CountMin = CountMin(depth, width)
-  override protected def addString(b: CountMin, v: String): Unit = b.addString(v)
+  override protected def addHash(b: CountMin, h: Long): Unit = b.addHash(h)
   override protected def addLong(b: CountMin, v: Long): Unit = b.addLong(v)
   override def merge(buffer: CountMin, other: CountMin): CountMin = buffer.merge(other)
   override protected def toBytes(s: CountMin): Array[Byte] = s.toBytes
@@ -135,6 +160,16 @@ case class CountMinSketchAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMinSketchAgg =
     copy(child = c.head)
   override def prettyName: String = "cms_sketch"
+}
+
+object CountMinSketchAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column constructor — native aggregate, compact wire-format buffer. */
+  def apply(c: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinSketchAgg(ColumnBridge.expression(c), depth, width).toAggregateExpression())
 }
 
 /** (item, weight) count-min: each row adds `weight` to its item's counters —
@@ -155,9 +190,16 @@ case class CountMinWeightedSketchAgg(
     val v = item.eval(input)
     val w = weight.eval(input)
     if (v != null && w != null) {
-      val cnt = w.asInstanceOf[Long]
+      val cnt = w match { // Int weight columns are valid DSL inputs too
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"cms_sketch_weighted: unsupported weight ${other.getClass.getSimpleName}")
+      }
       v match {
-        case s: org.apache.spark.unsafe.types.UTF8String => buffer.addString(s.toString, cnt)
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          buffer.addHash(Hashing.hashBytes(s.getBytes), cnt)
         case l: java.lang.Long                           => buffer.addLong(l.longValue(), cnt)
         case i: java.lang.Integer                        => buffer.addLong(i.longValue(), cnt)
         case other =>
@@ -180,6 +222,19 @@ case class CountMinWeightedSketchAgg(
   override def prettyName: String = "cms_sketch_weighted"
 }
 
+object CountMinWeightedSketchAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column constructor — native aggregate, compact wire-format buffer. */
+  def apply(item: Column, weight: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinWeightedSketchAgg(
+        ColumnBridge.expression(item),
+        ColumnBridge.expression(weight.cast("long")),
+        depth, width).toAggregateExpression())
+}
+
 case class BloomSketchAgg(
     child: Expression,
     expectedItems: Long,
@@ -188,7 +243,7 @@ case class BloomSketchAgg(
     inputAggBufferOffset: Int = 0)
     extends ItemSketchAgg[BloomFilter] {
   override def createAggregationBuffer(): BloomFilter = BloomFilter(expectedItems, fpp)
-  override protected def addString(b: BloomFilter, v: String): Unit = b.addString(v)
+  override protected def addHash(b: BloomFilter, h: Long): Unit = b.addHash(h)
   override protected def addLong(b: BloomFilter, v: Long): Unit = b.addLong(v)
   override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = buffer.merge(other)
   override protected def toBytes(s: BloomFilter): Array[Byte] = s.toBytes
@@ -200,6 +255,16 @@ case class BloomSketchAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomSketchAgg =
     copy(child = c.head)
   override def prettyName: String = "bloom_sketch"
+}
+
+object BloomSketchAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column constructor — native aggregate, compact wire-format buffer. */
+  def apply(c: Column, expectedItems: Long, fpp: Double): Column =
+    ColumnBridge.column(
+      BloomSketchAgg(ColumnBridge.expression(c), expectedItems, fpp).toAggregateExpression())
 }
 
 case class TDigestSketchAgg(

@@ -390,6 +390,11 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var labels = ckpt
+    // the round's superseded checkpoint, tracked separately so a throw
+    // between materializing the new round and freeing the old one leaks
+    // neither (advice-r6: the old single-var bookkeeping could leak the
+    // just-materialized checkpoint if the changed-count job threw)
+    var prevCkpt: DataFrame = null
     var changed = 1L
     var it = 0
     // on ANY failure path (mid-round throw or the non-convergence throw
@@ -419,12 +424,15 @@ object Dedup {
           col("label"),
           least(col("next"), coalesce(col("jlabel"), col("next"))).as("next"))
         .localCheckpoint()
+      // track the new checkpoint for the failure path the moment it is live
+      prevCkpt = ckpt
+      ckpt = updated
       changed = updated.filter(col("next") < col("label")).count()
       // the previous round's cached blocks are dead once `updated` is
       // materialized (localCheckpoint is eager): free them immediately, or
       // cached blocks accumulate linearly in rounds on large pair graphs
-      unpersistCheckpoint(ckpt)
-      ckpt = updated
+      unpersistCheckpoint(prevCkpt)
+      prevCkpt = null
       labels = updated.select(col("id"), col("next").as("label"))
       it += 1
     }
@@ -435,6 +443,7 @@ object Dedup {
     } catch {
       case t: Throwable =>
         unpersistCheckpoint(ckpt)
+        if (prevCkpt != null) unpersistCheckpoint(prevCkpt)
         unpersistCheckpoint(sym)
         throw t
     }

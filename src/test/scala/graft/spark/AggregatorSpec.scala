@@ -302,4 +302,32 @@ class AggregatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("exactOrderStatistics matches a local sort at every requested rank " +
+    "(skewed groups, ties, many narrow partitions)") {
+    import spark.implicits._
+    // the q03/q24/q25 exact-oracle machinery: range-partitioned sort + two
+    // mapPartitions passes. Skewed group sizes force groups to straddle
+    // partition boundaries; duplicated values exercise tie handling; the
+    // rank set hits both endpoints and interior ranks per group.
+    val rnd = new java.util.SplittableRandom(77L)
+    val rows = Seq.tabulate(20000) { i =>
+      val g = if (i % 100 < 85) "big" else if (i % 100 < 97) "mid" else "tiny"
+      (g, math.floor(rnd.nextDouble() * 500) / 10.0) // ~5000 distinct values: ties
+    }
+    val df = rows.toDF("g", "v").repartition(13)
+    def ranksFor(n: Long): Seq[Long] = Seq(0L, 1L, n / 3, n / 2, n - 2, n - 1)
+    val (groupN, hits) = graft.SparkEntry.exactOrderStatistics(df, "g", "v", ranksFor)
+    val expectedN = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(groupN == expectedN)
+    val sortedByGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq)
+    for ((g, n) <- expectedN; r <- ranksFor(n).filter(r => r >= 0 && r < n).distinct) {
+      assert(hits((g, r)) == sortedByGroup(g)(r.toInt), s"group=$g rank=$r")
+    }
+    // every emitted hit is a requested (group, rank)
+    val wanted = expectedN.toSeq.flatMap { case (g, n) =>
+      ranksFor(n).filter(r => r >= 0 && r < n).map(r => (g, r))
+    }.toSet
+    assert(hits.keySet == wanted)
+  }
 }
