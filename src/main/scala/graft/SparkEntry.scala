@@ -889,10 +889,14 @@ object SparkEntry {
       // kernel the cms_estimate UDF calls — 3 rows, identical arithmetic.
       // MEMORY_AND_DISK, not MEMORY_ONLY — eviction under memory pressure
       // must spill, not trigger recompute storms (measured round 2).
-      val li = table(s, dir, "lineitem")
-        .select(
-          col("l_extendedprice"), col("l_partkey"), col("l_returnflag"),
-          col("l_orderkey"), col("l_linestatus"), col("l_linenumber"))
+      // widen(): the small parquet arrives 3 partitions wide, so every
+      // sketch pass would run 3-way parallel on a 32-core session; at scale
+      // the input is already wide and widen() is a no-op (round-3 pitfall).
+      val li = graft.text.Dedup.widen(
+        table(s, dir, "lineitem")
+          .select(
+            col("l_extendedprice"), col("l_partkey"), col("l_returnflag"),
+            col("l_orderkey"), col("l_linestatus"), col("l_linenumber")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
       def aggs = Seq(
@@ -935,25 +939,32 @@ object SparkEntry {
       // order-sensitive merges: rank-error checks on the MERGED sketches
       val tdEst = graft.sketches.TDigest.fromBytes(b(merged, 4)).quantile(0.5)
       val kllEst = graft.sketches.Kll.fromBytes(b(merged, 5)).quantile(0.5)
+      // countDistinct stays a pass of its own: mixing it into the rollup
+      // would cross Expand projections (rollup groupings x distinct
+      // duplication = 4x the input rows through the aggregation — measured
+      // ~1 s slower than the two plain passes it was meant to replace)
       val stats = li
         .rollup(col("l_returnflag"))
         .agg(
+          grouping(col("l_returnflag")).cast("int").as("gid"),
           count(lit(1)).as("n"),
-          countDistinct(col("l_partkey")).as("n_parts"),
           sum(col("l_linenumber").cast("long")).as("w"),
           sum(when(col("l_extendedprice") <= tdEst, 1L).otherwise(0L)).as("le_td"),
           sum(when(col("l_extendedprice") <= kllEst, 1L).otherwise(0L)).as("le_kll"))
         .collect()
-      val global = stats.find(_.isNullAt(0)).get
-      val n = global.getLong(1)
-      val nParts = global.getLong(2)
+      val global = stats.find(_.getInt(1) == 1).get
+      val n = global.getLong(2)
+      val nParts = li
+        .agg(countDistinct(col("l_partkey")))
+        .collect()(0)
+        .getLong(0)
       val tdOk = math.abs(global.getLong(4).toDouble / n - 0.5) <= 0.015
       val kllOk = math.abs(global.getLong(5).toDouble / n - 0.5) <= 0.015
       // weighted CMS (reference count-weighted addValue): no underestimate,
       // bounded overestimate vs exact weighted counts — the same CountMin
       // calls cms_estimate/cms_total made, on the same bytes
       val wcms = graft.sketches.CountMin.fromBytes(b(direct, 4))
-      val wOk = stats.filter(!_.isNullAt(0)).forall { r =>
+      val wOk = stats.filter(_.getInt(1) == 0).forall { r =>
         val est = wcms.estimateString(r.getString(0))
         val w = r.getLong(3)
         est >= w && est <= w + (3 * math.E / 2048) * wcms.total

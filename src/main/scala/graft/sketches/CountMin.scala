@@ -84,7 +84,63 @@ object CountMin {
   def forGuarantee(eps: Double, delta: Double): CountMin =
     apply(math.ceil(math.log(1 / delta)).toInt, math.ceil(math.E / eps).toInt)
 
+  /**
+   * Compact aggregation-buffer encoding (see [[Hll.toCompactBytes]]):
+   * sparse (indexGap varint, value varint) pairs over the NONZERO counters
+   * only — a partial buffer that saw a handful of items ships (and costs
+   * encode CPU for) just those counters, not the whole depth x width
+   * matrix. Marker byte -1 (dense payloads start with the high byte of a
+   * positive int32 depth, i.e. 0); dense fallback when not clearly
+   * smaller. Only ever crosses the partial->final shuffle; the stored
+   * wire format is unchanged.
+   */
+  def toCompactBytes(c: CountMin): Array[Byte] = {
+    val n = c.counters.length
+    var nNonzero = 0
+    var i = 0
+    while (i < n) {
+      if (c.counters(i) != 0L) nNonzero += 1
+      i += 1
+    }
+    val dense = 4 + 4 + 8 + n * 8
+    // conservative sparse bound: ~5 B gap + ~10 B value per pair + header
+    if (20L + nNonzero.toLong * 15L >= dense.toLong) return c.toBytes
+    val out = new java.io.ByteArrayOutputStream(20 + nNonzero * 8)
+    out.write(0xff)
+    Varint.write(out, c.depth.toLong)
+    Varint.write(out, c.width.toLong)
+    Varint.write(out, c.total)
+    Varint.write(out, nNonzero.toLong)
+    var prev = -1
+    i = 0
+    while (i < n) {
+      if (c.counters(i) != 0L) {
+        Varint.write(out, (i - prev).toLong)
+        Varint.write(out, c.counters(i))
+        prev = i
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
   def fromBytes(bytes: Array[Byte]): CountMin = {
+    if (bytes(0) == -1.toByte) { // compact sparse-pair form
+      val r = new Varint.Reader(bytes, 1)
+      val depth = r.read().toInt
+      val width = r.read().toInt
+      val total = r.read()
+      val nNonzero = r.read().toInt
+      val counters = new Array[Long](depth * width)
+      var idx = -1
+      var k = 0
+      while (k < nNonzero) {
+        idx += r.read().toInt
+        counters(idx) = r.read()
+        k += 1
+      }
+      return new CountMin(depth, width, counters, total)
+    }
     val buf = ByteBuffer.wrap(bytes)
     val depth = buf.getInt
     val width = buf.getInt
@@ -171,7 +227,64 @@ object BloomFilter {
     new BloomFilter(mWords.toLong * 64L, k, new Array[Long](mWords))
   }
 
+  /**
+   * Compact aggregation-buffer encoding (see [[Hll.toCompactBytes]]):
+   * sparse nonzero-word list [-1, varint numBits, varint numHashes,
+   * varint nNonzero, (varint wordIndexGap, 8-byte word)*] — a partial
+   * buffer holding a handful of items ships tens of bytes instead of the
+   * full bitset. Marker -1 (dense payloads start with the high byte of a
+   * positive int64 numBits, i.e. 0); dense fallback when not smaller.
+   * Shuffle-internal only; the stored wire format is unchanged.
+   */
+  def toCompactBytes(f: BloomFilter): Array[Byte] = {
+    val words = f.bits
+    var nNonzero = 0
+    var i = 0
+    while (i < words.length) {
+      if (words(i) != 0L) nNonzero += 1
+      i += 1
+    }
+    val dense = 8 + 4 + words.length * 8
+    if (16L + nNonzero.toLong * 13L >= dense.toLong) return f.toBytes
+    val out = new java.io.ByteArrayOutputStream(16 + nNonzero * 10)
+    out.write(0xff)
+    Varint.write(out, f.numBits)
+    Varint.write(out, f.numHashes.toLong)
+    Varint.write(out, nNonzero.toLong)
+    var prev = -1
+    i = 0
+    while (i < words.length) {
+      if (words(i) != 0L) {
+        Varint.write(out, (i - prev).toLong)
+        var s = 56
+        val w = words(i)
+        while (s >= 0) { out.write(((w >>> s) & 0xffL).toInt); s -= 8 }
+        prev = i
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
   def fromBytes(bytes: Array[Byte]): BloomFilter = {
+    if (bytes(0) == -1.toByte) { // compact sparse-word form
+      val r = new Varint.Reader(bytes, 1)
+      val numBits = r.read()
+      val numHashes = r.read().toInt
+      val nNonzero = r.read().toInt
+      val words = new Array[Long]((numBits >>> 6).toInt)
+      var idx = -1
+      var k = 0
+      while (k < nNonzero) {
+        idx += r.read().toInt
+        var w = 0L
+        var b = 0
+        while (b < 8) { w = (w << 8) | (r.readByte() & 0xffL); b += 1 }
+        words(idx) = w
+        k += 1
+      }
+      return new BloomFilter(numBits, numHashes, words)
+    }
     val buf = ByteBuffer.wrap(bytes)
     val numBits = buf.getLong
     val numHashes = buf.getInt

@@ -77,9 +77,66 @@ object Hll {
   def apply(precision: Int = DefaultPrecision): Hll =
     new Hll(precision, new Array[Byte](1 << precision))
 
+  /**
+   * Compact aggregation-buffer encoding for partial aggregation at extreme
+   * group cardinality (the adaptive-width idea behind the packed histogram
+   * buffers, applied to HLL): when few registers are set, emit
+   * [-(precision), varint nSet, (varint indexGap, rank byte)*] — about 3
+   * bytes per SET register instead of the dense 1 + 2^p array, so a group
+   * that saw a handful of items ships tens of bytes across the shuffle
+   * instead of 16 KiB at precision 14. Falls back to the dense form when
+   * sparse would not be smaller. [[fromBytes]] dispatches on the sign of
+   * the first byte (dense payloads start with the positive precision), so
+   * both encodings decode to identical registers and identical estimates.
+   * The STORED wire format ([[Hll.toBytes]]) is unchanged — this form only
+   * ever crosses the partial->final shuffle inside an aggregation.
+   */
+  def toCompactBytes(h: Hll): Array[Byte] = {
+    val regs = h.registers
+    val m = regs.length
+    var nSet = 0
+    var i = 0
+    while (i < m) {
+      if (regs(i) != 0) nSet += 1
+      i += 1
+    }
+    // conservative sparse upper bound: 1 marker + 5 count + nSet * (5 + 1)
+    if (6L + nSet.toLong * 6L >= 1L + m) return h.toBytes
+    val out = new java.io.ByteArrayOutputStream(8 + nSet * 3)
+    out.write((-h.precision).toByte & 0xff)
+    Varint.write(out, nSet.toLong)
+    var prev = -1
+    i = 0
+    while (i < m) {
+      if (regs(i) != 0) {
+        Varint.write(out, (i - prev).toLong)
+        out.write(regs(i).toInt)
+        prev = i
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
   def fromBytes(bytes: Array[Byte]): Hll = {
-    val p = bytes(0).toInt
-    require(bytes.length == 1 + (1 << p), "corrupt HLL payload")
-    new Hll(p, java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+    val first = bytes(0).toInt
+    if (first < 0) { // compact (sparse) aggregation-buffer form
+      val p = -first
+      val regs = new Array[Byte](1 << p)
+      val r = new Varint.Reader(bytes, 1)
+      val nSet = r.read().toInt
+      var idx = -1
+      var k = 0
+      while (k < nSet) {
+        idx += r.read().toInt
+        regs(idx) = r.readByte()
+        k += 1
+      }
+      new Hll(p, regs)
+    } else {
+      val p = first
+      require(bytes.length == 1 + (1 << p), "corrupt HLL payload")
+      new Hll(p, java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+    }
   }
 }

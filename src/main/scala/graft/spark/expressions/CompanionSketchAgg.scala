@@ -120,6 +120,10 @@ case class HllSketchAgg(
   override def merge(buffer: Hll, other: Hll): Hll = buffer.merge(other)
   override protected def toBytes(s: Hll): Array[Byte] = s.toBytes
   override protected def fromBytes(b: Array[Byte]): Hll = Hll.fromBytes(b)
+  // shuffle buffers take the compact (sparse) form: a group that saw few
+  // items ships ~3 B per set register instead of the dense 2^p array; the
+  // result bytes (eval -> toBytes) stay dense wire format
+  override def serialize(buffer: Hll): Array[Byte] = Hll.toCompactBytes(buffer)
   override def withNewMutableAggBufferOffset(n: Int): HllSketchAgg =
     copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): HllSketchAgg =
@@ -153,6 +157,9 @@ case class CountMinSketchAgg(
   override def merge(buffer: CountMin, other: CountMin): CountMin = buffer.merge(other)
   override protected def toBytes(s: CountMin): Array[Byte] = s.toBytes
   override protected def fromBytes(b: Array[Byte]): CountMin = CountMin.fromBytes(b)
+  // shuffle buffers varint-encode the counter matrix (zero counters cost
+  // 1 byte, not 8); result bytes stay the dense wire format
+  override def serialize(buffer: CountMin): Array[Byte] = CountMin.toCompactBytes(buffer)
   override def withNewMutableAggBufferOffset(n: Int): CountMinSketchAgg =
     copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): CountMinSketchAgg =
@@ -212,6 +219,7 @@ case class CountMinWeightedSketchAgg(
   override def merge(buffer: CountMin, other: CountMin): CountMin = buffer.merge(other)
   override protected def toBytes(s: CountMin): Array[Byte] = s.toBytes
   override protected def fromBytes(b: Array[Byte]): CountMin = CountMin.fromBytes(b)
+  override def serialize(buffer: CountMin): Array[Byte] = CountMin.toCompactBytes(buffer)
   override def withNewMutableAggBufferOffset(n: Int): CountMinWeightedSketchAgg =
     copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): CountMinWeightedSketchAgg =
@@ -248,6 +256,9 @@ case class BloomSketchAgg(
   override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = buffer.merge(other)
   override protected def toBytes(s: BloomFilter): Array[Byte] = s.toBytes
   override protected def fromBytes(b: Array[Byte]): BloomFilter = BloomFilter.fromBytes(b)
+  // shuffle buffers take the sparse nonzero-word form; result bytes stay
+  // the dense wire format
+  override def serialize(buffer: BloomFilter): Array[Byte] = BloomFilter.toCompactBytes(buffer)
   override def withNewMutableAggBufferOffset(n: Int): BloomSketchAgg =
     copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): BloomSketchAgg =

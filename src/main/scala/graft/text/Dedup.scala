@@ -33,7 +33,7 @@ object Dedup {
    * and would otherwise run the pass single-threaded. At scale the input is
    * already wide and this is a no-op (no shuffle added, and the width probe
    * itself is plan metadata — it launches no job). */
-  private[text] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (planWidth(df) < par) df.repartition(par) else df
   }
@@ -597,7 +597,11 @@ object Dedup {
         (r.getLong(0), h)
       }
     val bc = spark.sparkContext.broadcast(corpus)
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // widen(): the query side is a CPU-heavy per-row pass (sorted-merge
+    // jaccard against the whole broadcast corpus); a single-row-group
+    // parquet arrives effectively one partition wide and would run the
+    // whole quadratic in one task (round-3 pitfall; no-op at scale)
+    widen(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val corpusArr = bc.value

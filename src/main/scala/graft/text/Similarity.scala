@@ -105,8 +105,11 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
       }
     val bc = spark.sparkContext.broadcast(corpusData)
-    queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    // widen(): query x corpus dot products are a CPU-heavy per-row pass; a
+    // single-row-group parquet arrives effectively one partition wide and
+    // would run it in one task (round-3 pitfall; no-op at scale)
+    Dedup.widen(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val corpusArr = bc.value

@@ -188,4 +188,44 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](td.add(Double.NaN))
     assert(td.quantile(0.5).isNaN)
   }
+
+  test("compact aggregation-buffer encodings round-trip to identical state " +
+    "and shrink sparse buffers") {
+    val rnd = new java.util.SplittableRandom(5L)
+    // HLL: empty / few / many / near-full register fills
+    for (n <- Seq(0, 1, 7, 500, 200000)) {
+      val h = Hll(12)
+      (0 until n).foreach(_ => h.addLong(rnd.nextLong()))
+      val c = Hll.toCompactBytes(h)
+      val back = Hll.fromBytes(c)
+      assert(back.precision == h.precision)
+      assert(java.util.Arrays.equals(back.registers, h.registers), s"hll n=$n")
+      assert(java.util.Arrays.equals(back.toBytes, h.toBytes))
+      if (n <= 7) assert(c.length <= 8 + 3 * n, s"hll n=$n not sparse: ${c.length}")
+      if (n >= 200000) assert(c.length == h.toBytes.length) // dense fallback
+    }
+    // CMS: varint counters incl. multi-byte counts
+    for (n <- Seq(0, 3, 1000)) {
+      val cm = CountMin(5, 2048)
+      (0 until n).foreach(i => cm.addLong(rnd.nextLong(), 1L + (i % 5) * 100000L))
+      val c = CountMin.toCompactBytes(cm)
+      val back = CountMin.fromBytes(c)
+      assert(back.depth == cm.depth && back.width == cm.width && back.total == cm.total)
+      assert(back.counters.toSeq == cm.counters.toSeq, s"cms n=$n")
+      assert(java.util.Arrays.equals(back.toBytes, cm.toBytes))
+      assert(c.length < cm.toBytes.length, s"cms n=$n not smaller: ${c.length}")
+    }
+    // Bloom: sparse word list vs dense fallback
+    for (n <- Seq(0, 1, 10, 90000)) {
+      val bf = BloomFilter(100000, 0.01)
+      (0 until n).foreach(_ => bf.addLong(rnd.nextLong()))
+      val c = BloomFilter.toCompactBytes(bf)
+      val back = BloomFilter.fromBytes(c)
+      assert(back.numBits == bf.numBits && back.numHashes == bf.numHashes)
+      assert(back.bits.toSeq == bf.bits.toSeq, s"bloom n=$n")
+      assert(java.util.Arrays.equals(back.toBytes, bf.toBytes))
+      if (n <= 10) assert(c.length <= 16 + 13 * 7 * n, s"bloom n=$n not sparse")
+      if (n >= 90000) assert(c.length == bf.toBytes.length) // dense fallback
+    }
+  }
 }

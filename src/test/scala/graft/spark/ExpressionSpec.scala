@@ -359,6 +359,26 @@ class ExpressionSpec extends AnyFunSuite {
       b(functions.cms_sketch_weighted(col("s"), col("wi").cast("long"), 5, 512))))
   }
 
+  test("compact shuffle buffers: grouped native companion sketches stay " +
+    "byte-identical to the kryo aggregators at high group cardinality") {
+    import spark.implicits._
+    // 300 groups x 4 partitions: every group's partial buffer crosses the
+    // shuffle in the compact (sparse/varint) form and must merge to the
+    // exact same dense result bytes the kryo path produces
+    val rnd = new java.util.SplittableRandom(9L)
+    val rows = (0 until 6000).map { i => (i % 300, s"it_${rnd.nextInt(200)}", i.toLong) }
+    val df = rows.toDF("g", "s", "id").repartition(4)
+    def collectMap(c: org.apache.spark.sql.Column): Map[Int, Seq[Byte]] =
+      df.groupBy(col("g")).agg(c.as("sk")).collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(collectMap(graft.spark.expressions.HllSketchAgg(col("id"), 14)) ==
+      collectMap(functions.hll_sketch_long(col("id"), 14)))
+    assert(collectMap(graft.spark.expressions.CountMinSketchAgg(col("s"), 5, 2048)) ==
+      collectMap(functions.cms_sketch(col("s"), 5, 2048)))
+    assert(collectMap(graft.spark.expressions.BloomSketchAgg(col("id"), 100000, 0.01)) ==
+      collectMap(functions.bloom_sketch(col("id"), 100000, 0.01)))
+  }
+
   test("native binary sketch aggregates survive the sort-based fallback byte-identically") {
     import spark.implicits._
     // 1000 groups with the ObjectHashAggregate in-memory limit forced to 2
