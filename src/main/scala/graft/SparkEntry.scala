@@ -1200,8 +1200,14 @@ object SparkEntry {
       val nFound = found.count()
       val missing = planted.join(found, Seq("id_a", "id_b"), "left_anti").count()
       val extra = found.join(planted, Seq("id_a", "id_b"), "left_anti").count()
+      // n_vecs = base + 2 x planted, from ONE aggregate over the base table
+      // instead of re-scanning the three-way union (same number, one pass)
+      val counts = base
+        .agg(count(lit(1)).as("n"), count(when(col("id") % 5 === 0, 1)).as("nd"))
+        .collect()(0)
+      val nVecs = counts.getLong(0) + 2L * counts.getLong(1)
       import s.implicits._
-      Seq((corpus.count(), nFound, missing == 0L, missing == 0L && extra == 0L))
+      Seq((nVecs, nFound, missing == 0L, missing == 0L && extra == 0L))
         .toDF("n_vecs", "n_pairs", "all_planted_found", "only_planted")
     },
     // 31. exact n-gram (word 3-shingle) Jaccard pairs over a bounded

@@ -74,6 +74,11 @@ object Pipeline {
 
     def isChunkDone(id: Int): Boolean = fs.exists(markerPath(id))
 
+    // the input schema is identical across chunks (one logical table split
+    // into files): infer it once and pass it to later chunk reads, so only
+    // the first chunk pays the footer/schema-inference job
+    private var inputSchema: Option[org.apache.spark.sql.types.StructType] = None
+
     /** Runs at most `maxChunks` incomplete chunks (all by default). Returns
      * the number of chunks actually executed (0 = everything was resumed). */
     def runChunks(maxChunks: Int = Int.MaxValue): Int = {
@@ -81,7 +86,13 @@ object Pipeline {
       chunks.foreach { case (id, files) =>
         if (executed < maxChunks && !isChunkDone(id)) {
           val t0 = System.nanoTime()
-          val df = spark.read.parquet(files: _*)
+          val df = inputSchema match {
+            case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+            case None =>
+              val d = spark.read.parquet(files: _*)
+              inputSchema = Some(d.schema)
+              d
+          }
           val row = df
             .agg(
               hist_sketch(col(valueColumn), layout).as("sketch"),
@@ -105,10 +116,13 @@ object Pipeline {
     def result(): (Histogram, Seq[ChunkLineage]) = {
       require(chunks.forall { case (id, _) => isChunkDone(id) }, "incomplete chunks remain")
       import spark.implicits._
-      val lineage = chunks
-        .flatMap { case (id, _) =>
-          spark.read.parquet(chunkDir(id)).as[ChunkLineage].collect()
-        }
+      // one read over every chunk directory (identical schemas) instead of
+      // a read+collect round-trip per chunk
+      val lineage = spark.read
+        .parquet(chunks.map { case (id, _) => chunkDir(id) }: _*)
+        .as[ChunkLineage]
+        .collect()
+        .toSeq
         .sortBy(_.chunk_id)
       val merged = lineage
         .map(l => SketchEnvelope.fromBytes(l.sketch))
