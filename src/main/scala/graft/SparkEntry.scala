@@ -712,7 +712,7 @@ object SparkEntry {
       val feats = graft.multimodal.Multimodal.extractFeatures(media)
       val isImg = col("media_type") === "image"
       val isVid = col("media_type") === "video"
-      feats
+      val aggDf = feats
         .toDF()
         .agg(
           count(lit(1)).as("n_items"),
@@ -729,6 +729,13 @@ object SparkEntry {
             .as("sum_video_duration_ms"),
           sum(when(col("decoded") && isVid, col("n_frames_sampled").cast("long")))
             .as("sum_video_frames"))
+      // materialize the one-row aggregate, then free the media checkpoint
+      // blocks — otherwise every run pins the full synthesized payload set
+      // in block storage for the rest of the session (corpus-sized at
+      // scale). Schema carried verbatim; the returned frame is local.
+      val rows = aggDf.collect()
+      graft.text.Dedup.unpersistCheckpoint(media.toDF())
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), aggDf.schema)
     },
     // 20. OpenTelemetry exponential-buckets layout: exploded bin counts,
     //     re-counted by the oracle against the layout's own exact bin

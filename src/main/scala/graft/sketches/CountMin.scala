@@ -129,13 +129,18 @@ object CountMin {
       val r = new Varint.Reader(bytes, 1)
       val depth = r.read().toInt
       val width = r.read().toInt
+      require(depth > 0 && width > 0 && depth.toLong * width <= Int.MaxValue,
+        "corrupt count-min payload (sparse dims)")
       val total = r.read()
+      val n = depth * width
       val nNonzero = r.read().toInt
-      val counters = new Array[Long](depth * width)
+      require(nNonzero >= 0 && nNonzero <= n, "corrupt count-min payload (sparse count)")
+      val counters = new Array[Long](n)
       var idx = -1
       var k = 0
       while (k < nNonzero) {
         idx += r.read().toInt
+        require(idx >= 0 && idx < n, "corrupt count-min payload (sparse index)")
         counters(idx) = r.read()
         k += 1
       }
@@ -271,12 +276,17 @@ object BloomFilter {
       val r = new Varint.Reader(bytes, 1)
       val numBits = r.read()
       val numHashes = r.read().toInt
+      require(numBits > 0 && (numBits & 63L) == 0L && (numBits >>> 6) <= Int.MaxValue &&
+        numHashes > 0, "corrupt bloom payload (sparse dims)")
+      val nWords = (numBits >>> 6).toInt
       val nNonzero = r.read().toInt
-      val words = new Array[Long]((numBits >>> 6).toInt)
+      require(nNonzero >= 0 && nNonzero <= nWords, "corrupt bloom payload (sparse count)")
+      val words = new Array[Long](nWords)
       var idx = -1
       var k = 0
       while (k < nNonzero) {
         idx += r.read().toInt
+        require(idx >= 0 && idx < nWords, "corrupt bloom payload (sparse index)")
         var w = 0L
         var b = 0
         while (b < 8) { w = (w << 8) | (r.readByte() & 0xffL); b += 1 }

@@ -122,13 +122,17 @@ object Hll {
     val first = bytes(0).toInt
     if (first < 0) { // compact (sparse) aggregation-buffer form
       val p = -first
-      val regs = new Array[Byte](1 << p)
+      require(p >= 4 && p <= 18, "corrupt HLL payload (sparse precision)")
+      val m = 1 << p
+      val regs = new Array[Byte](m)
       val r = new Varint.Reader(bytes, 1)
       val nSet = r.read().toInt
+      require(nSet >= 0 && nSet <= m, "corrupt HLL payload (sparse count)")
       var idx = -1
       var k = 0
       while (k < nSet) {
         idx += r.read().toInt
+        require(idx >= 0 && idx < m, "corrupt HLL payload (sparse index)")
         regs(idx) = r.readByte()
         k += 1
       }

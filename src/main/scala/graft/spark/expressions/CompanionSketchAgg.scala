@@ -40,15 +40,26 @@ abstract class CompanionSketchAgg[S <: AnyRef] extends TypedImperativeAggregate[
   override def deserialize(bytes: Array[Byte]): S = fromBytes(bytes)
 }
 
+private[spark] object ItemSketchAgg {
+  /** Hash of a string input, bit-identical to the kryo path's
+   * `Hashing.hashString(s.toString)` on EVERY input: valid UTF-8 hashes
+   * its bytes directly (no per-row `java.lang.String` — `hashString` is
+   * defined as the hash of the UTF-8 encoding, and valid bytes round-trip
+   * `toString.getBytes` unchanged); malformed sequences fall back to the
+   * String path so they hash the same U+FFFD-replaced encoding
+   * `toString` would have produced. `isValid` caches per UTF8String. */
+  def utf8Hash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (s.isValid) Hashing.hashBytes(s.getBytes)
+    else Hashing.hashString(s.toString)
+}
+
 /** Item-keyed sketches (HLL / CMS / Bloom): string inputs hash as strings,
  * integral inputs as longs — matching the `Aggs.*StringAgg`/`*LongAgg`
  * split, dispatched on the child's type at bind time.
  *
- * String rows hash the `UTF8String`'s UTF-8 bytes directly
- * (`Hashing.hashBytes`, bit-identical to `hashString` which is defined as
- * the hash of the UTF-8 encoding) — no per-row `java.lang.String`
- * materialization on the 100 TB string-key path; both string and long
- * bound-reference children take an unboxed ordinal read. */
+ * String rows hash through [[ItemSketchAgg.utf8Hash]] (no per-row
+ * `java.lang.String` for valid UTF-8 — the 100 TB string-key path); both
+ * string and long bound-reference children take an unboxed ordinal read. */
 abstract class ItemSketchAgg[S <: AnyRef] extends CompanionSketchAgg[S] {
   protected def addHash(buffer: S, h: Long): Unit
   protected def addLong(buffer: S, v: Long): Unit
@@ -69,12 +80,12 @@ abstract class ItemSketchAgg[S <: AnyRef] extends CompanionSketchAgg[S] {
     } else if (stringOrdinal >= 0) {
       val sOrd = stringOrdinal
       if (!input.isNullAt(sOrd))
-        addHash(buffer, Hashing.hashBytes(input.getUTF8String(sOrd).getBytes))
+        addHash(buffer, ItemSketchAgg.utf8Hash(input.getUTF8String(sOrd)))
     } else {
       val v = child.eval(input)
       if (v != null) v match {
         case s: org.apache.spark.unsafe.types.UTF8String =>
-          addHash(buffer, Hashing.hashBytes(s.getBytes))
+          addHash(buffer, ItemSketchAgg.utf8Hash(s))
         case l: java.lang.Long                           => addLong(buffer, l.longValue())
         case i: java.lang.Integer                        => addLong(buffer, i.longValue())
         case other =>
@@ -206,7 +217,7 @@ case class CountMinWeightedSketchAgg(
       }
       v match {
         case s: org.apache.spark.unsafe.types.UTF8String =>
-          buffer.addHash(Hashing.hashBytes(s.getBytes), cnt)
+          buffer.addHash(ItemSketchAgg.utf8Hash(s), cnt)
         case l: java.lang.Long                           => buffer.addLong(l.longValue(), cnt)
         case i: java.lang.Integer                        => buffer.addLong(i.longValue(), cnt)
         case other =>

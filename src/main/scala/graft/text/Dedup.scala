@@ -95,7 +95,7 @@ object Dedup {
   /** Frees the cached blocks behind a `localCheckpoint()`ed frame. Only call
    * once nothing references the frame anymore: localCheckpoint truncates
    * lineage, so unpersisted blocks cannot be recomputed. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

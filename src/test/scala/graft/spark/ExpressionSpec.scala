@@ -345,6 +345,16 @@ class ExpressionSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       b(graft.spark.expressions.CountMinSketchAgg(col("s"), 5, 512)),
       b(functions.cms_sketch(col("s"), 5, 512))))
+    // malformed UTF-8 (unreachable via well-formed sources, but parquet
+    // bytes are not validated): the hash must match what the kryo String
+    // path computes after toString's U+FFFD replacement
+    for (bad <- Seq(Array(0x80.toByte), Array('a'.toByte, 0xC3.toByte),
+        Array(0xED.toByte, 0xA0.toByte, 0x80.toByte))) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromBytes(bad)
+      assert(graft.spark.expressions.ItemSketchAgg.utf8Hash(u) ==
+        graft.sketches.Hashing.hashString(u.toString))
+    }
+
     // weighted CMS with a RAW IntegerType weight child (no Cast wrapper —
     // the direct case-class construction advice-r6 flagged as an
     // asInstanceOf[Long] ClassCastException) must equal the kryo path fed

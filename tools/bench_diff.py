@@ -36,7 +36,7 @@ def main(argv):
     olds, new = arts[:-1], arts[-1]
     names = sorted(set().union(*[a.get("queries", {}) for a in arts]))
 
-    def best(metric_key, q):
+    def best(q):
         vals = [a.get("queries", {}).get(q) for a in olds]
         vals = [v for v in vals if v is not None]
         return min(vals) if vals else None
@@ -47,7 +47,7 @@ def main(argv):
     print(f"{'query':34s} {'old(best)':>9s} {'new':>8s} {'delta':>7s}  verdict")
     plan_changed, noise = [], []
     for q in names:
-        o = best("queries", q)
+        o = best(q)
         n = new.get("queries", {}).get(q)
         if o is None or n is None:
             print(f"{q:34s} {'-':>9s} {'-':>8s} {'-':>7s}  ADDED/REMOVED")
@@ -56,13 +56,20 @@ def main(argv):
         # jobs + shuffle bytes vs EVERY old artifact: metrics are exact
         # per-plan, so equality with ANY old run means the plan is unchanged
         # (a contended listener can bleed metrics between queries — matching
-        # one quiet run is the signal)
-        matches = any(
-            qm(a, q, "jobs") == qm(new, q, "jobs")
+        # one quiet run is the signal). Artifacts with MISSING metrics must
+        # not match vacuously (None == None) — classify UNKNOWN instead.
+        have_metrics = qm(new, q, "jobs") is not None and any(
+            qm(a, q, "jobs") is not None for a in olds)
+        matches = have_metrics and any(
+            qm(a, q, "jobs") is not None
+            and qm(a, q, "jobs") == qm(new, q, "jobs")
             and qm(a, q, "shuffle_read_bytes") == qm(new, q, "shuffle_read_bytes")
             for a in olds)
         delta = n - o
-        if not matches:
+        if not have_metrics:
+            verdict = "UNKNOWN (no query_metrics to compare)"
+            plan_changed.append(q)
+        elif not matches:
             verdict = "PLAN-CHANGED (jobs/shuffle differ)"
             plan_changed.append(q)
         elif abs(delta) > max(0.25, 0.25 * o):
